@@ -1,0 +1,299 @@
+"""DynamoDB type-descriptor decode lattice (SURVEY.md §2.3 D1–D3).
+
+Semantics reproduced from the reference (cited for parity checking, not
+copied — the implementation below is vectorized and set-normalized):
+
+* descriptor set S/N/B/BOOL/NULL/M/L/SS/NS/BS —
+  ``/root/reference/src/commons_codec/vendor/boto3/dynamodb/types.py:82-144``
+* CrateDB-flavoured overrides: ``N -> float`` (lossy by design),
+  ``B`` passthrough, ``NS/SS/BS -> list``, ``L -> list`` tagged *varied*
+  when inner type markers differ —
+  ``/root/reference/src/commons_codec/transform/dynamodb.py:28-68``
+* pk / typed / untyped record split —
+  ``/root/reference/src/commons_codec/model.py:161-175``
+* image selection: ``NewImage`` for INSERT/MODIFY, ``Keys`` for REMOVE —
+  ``/root/reference/src/commons_codec/transform/dynamodb.py:217-224``
+
+Deliberate deviation: the reference materializes ``NS/SS/BS`` through a
+Python ``set``, so element order is process-dependent (its own tests sort
+before comparing, e.g. ``tests/transform/test_dynamodb_cdc.py:233``).  A
+distributed engine must be deterministic, so sets are decoded **sorted**.
+
+Two execution forms:
+
+* :func:`decode_image` / :func:`split_record` — pure functions over parsed
+  descriptor dicts; the specification, and the kernel of the pandas UDF.
+* :func:`compile_direct_decoder` — for a known target schema (DIRECT
+  mapping strategy), compiles the lattice into built-in column expressions
+  (``from_json`` + casts + ``array_sort``): fully JVM-side, inside
+  whole-stage codegen, no Python in the hot path at all.  This is the
+  100 TB path for the ``source_code`` table.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# Pure lattice (specification; kernel of the pandas-UDF path)
+# ---------------------------------------------------------------------------
+
+#: DynamoDB type descriptor markers.
+MARKERS = ("S", "N", "B", "BOOL", "NULL", "M", "L", "SS", "NS", "BS")
+
+
+class DecodeError(ValueError):
+    """Raised for malformed descriptor values (routed to DLQ when vectorized)."""
+
+
+def deserialize(value: dict) -> Any:
+    """Decode one ``{marker: payload}`` descriptor into a Python value.
+
+    Returns plain Python values; ``L`` payloads whose inner markers differ
+    are returned as :class:`VariedList` so the record splitter can route
+    them to the untyped bucket.
+    """
+    if not value or not isinstance(value, dict):
+        raise DecodeError(
+            "Value must be a nonempty dictionary whose key is a valid dynamodb type."
+        )
+    marker = next(iter(value.keys()))
+    payload = value[marker]
+    if marker == "NULL":
+        return None
+    if marker == "BOOL":
+        return bool(payload)
+    if marker == "N":
+        return float(payload)
+    if marker == "S":
+        return payload
+    if marker == "B":
+        return payload
+    if marker == "NS":
+        return sorted(float(v) for v in payload)
+    if marker == "SS":
+        return sorted(payload)
+    if marker == "BS":
+        return sorted(payload)
+    if marker == "M":
+        return {k: deserialize(v) for k, v in payload.items()}
+    if marker == "L":
+        out = VariedList(deserialize(v) for v in payload)
+        if payload:
+            first = next(iter(payload[0].keys()))
+            out.varied = any(next(iter(v.keys())) != first for v in payload)
+        return out
+    raise DecodeError(f"Dynamodb type {marker} is not supported")
+
+
+class VariedList(list):
+    """A list that remembers whether its source descriptors had mixed markers.
+
+    Equivalent of the reference's ``TaggableList`` + ``varied`` tag
+    (``util/data.py:35-44``); only the single tag is needed.
+    """
+
+    varied: bool = False
+
+
+def split_record(record: dict, primary_keys: list[str] | None) -> dict:
+    """Split a decoded record into ``{"pk", "typed", "untyped"}`` buckets.
+
+    Mirrors ``UniversalRecord.from_record``: pk fields are copied into
+    ``pk``; *varied* lists are routed to ``untyped``; everything else stays
+    in ``typed``.  A field can appear in both ``pk`` and ``untyped``.
+    """
+    pk: dict = {}
+    untyped: dict = {}
+    pk_names = set(primary_keys or [])
+    for key, value in record.items():
+        if key in pk_names:
+            pk[key] = value
+        if isinstance(value, VariedList) and value.varied:
+            untyped[key] = value
+    typed = {k: v for k, v in record.items() if k not in pk and k not in untyped}
+    return {"pk": pk, "typed": typed, "untyped": untyped}
+
+
+def decode_record(item: dict, primary_keys: list[str] | None = None) -> dict:
+    """Descriptor-encoded record -> pk/typed/untyped buckets of Python values."""
+    record = {k: deserialize(v) for k, v in item.items()}
+    return split_record(record, primary_keys)
+
+
+def decode_event(event: dict, strict_source: bool = True) -> dict:
+    """Decode one DynamoDB Streams CDC event into a normalized change row.
+
+    Returns ``{"op": insert|update|delete, "pk": ..., "typed": ...,
+    "untyped": ...}``.  INSERT/MODIFY read ``NewImage``; REMOVE reads
+    ``Keys``.
+    """
+    if strict_source and event.get("eventSource") != "aws:dynamodb":
+        raise DecodeError(f"Unknown eventSource: {event.get('eventSource')}")
+    name = event.get("eventName")
+    op = {"INSERT": "insert", "MODIFY": "update", "REMOVE": "delete"}.get(name)
+    if op is None:
+        raise DecodeError(f"Unknown CDC event name: {name}")
+    body = event["dynamodb"]
+    keys = body["Keys"]
+    image = body["NewImage"] if "NewImage" in body else keys
+    record = decode_record(image, list(keys.keys()))
+    record["op"] = op
+    return record
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow / pandas UDF) path — arbitrary schemas, UNIVERSAL shape
+# ---------------------------------------------------------------------------
+
+#: Output schema of the universal decode: JSON-encoded bucket values keep
+#: heterogeneous OBJECT semantics while staying Spark-typable.
+UNIVERSAL_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("pk", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("typed", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("untyped", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _jsonify(bucket: dict) -> dict:
+    return {k: json.dumps(v, separators=(",", ":")) for k, v in bucket.items()}
+
+
+def decode_events_pandas(
+    ops: pd.Series, keys_json: pd.Series, images_json: pd.Series
+) -> pd.DataFrame:
+    """Arrow-batch kernel: decode a batch of envelope rows.
+
+    Malformed rows land in ``error`` instead of raising, so one poison
+    event cannot kill a micro-batch (DLQ routing, SURVEY §2.2 P1/P2).
+    """
+    out = {"op": [], "pk": [], "typed": [], "untyped": [], "error": []}
+    for op, kj, ij in zip(ops, keys_json, images_json):
+        try:
+            keys = json.loads(kj) if kj else {}
+            pk_names = list(keys.keys())
+            image = json.loads(ij) if ij and op != "delete" else keys
+            rec = decode_record(image, pk_names)
+            out["op"].append(op)
+            out["pk"].append(_jsonify(rec["pk"]))
+            out["typed"].append(_jsonify(rec["typed"]))
+            out["untyped"].append(_jsonify(rec["untyped"]))
+            out["error"].append(None)
+        except Exception as exc:  # noqa: BLE001 — poison-pill rows go to DLQ
+            out["op"].append(op)
+            out["pk"].append(None)
+            out["typed"].append(None)
+            out["untyped"].append(None)
+            out["error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+def decode_universal(
+    df: DataFrame,
+    op_col: str = "op",
+    keys_col: str = "keys_json",
+    image_col: str = "image",
+) -> DataFrame:
+    """Decode arbitrary-schema envelopes into the UNIVERSAL pk/typed/untyped shape.
+
+    Uses ``mapInPandas`` so each Arrow batch is decoded in one Python call;
+    all non-decode columns pass through untouched.
+    """
+    passthrough = [f for f in df.schema.fields if f.name not in ("_decoded",)]
+    out_schema = T.StructType(list(passthrough) + list(UNIVERSAL_SCHEMA.fields))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = decode_events_pandas(pdf[op_col], pdf[keys_col], pdf[image_col])
+            decoded.index = pdf.index
+            yield pd.concat([pdf, decoded.drop(columns=[op_col])], axis=1)
+
+    # `op` exists both as passthrough and decode output; drop the dup above.
+    out_fields = [f for f in passthrough] + [
+        f for f in UNIVERSAL_SCHEMA.fields if f.name != "op"
+    ]
+    out_schema = T.StructType(out_fields)
+    return df.mapInPandas(_map, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Compiled (JVM, whole-stage-codegen) path — known schema, DIRECT shape
+# ---------------------------------------------------------------------------
+
+#: marker -> (spark type of the raw from_json field, cast/transform builder)
+_SCALAR_SPARK_TYPES: dict[str, T.DataType] = {
+    "S": T.StringType(),
+    "N": T.StringType(),  # DynamoDB numbers travel as strings
+    "B": T.StringType(),
+    "BOOL": T.BooleanType(),
+    "NULL": T.BooleanType(),
+    "SS": T.ArrayType(T.StringType()),
+    "NS": T.ArrayType(T.StringType()),
+    "BS": T.ArrayType(T.StringType()),
+}
+
+
+def image_schema(columns: dict[str, str]) -> T.StructType:
+    """``from_json`` schema for a descriptor-encoded image with known columns.
+
+    ``columns`` maps column name -> descriptor marker (e.g. ``{"repo": "S",
+    "size": "N"}``).  Each image field is a one-field struct keyed by its
+    marker.
+    """
+    fields = []
+    for name, marker in columns.items():
+        inner = _SCALAR_SPARK_TYPES.get(marker)
+        if inner is None:
+            raise ValueError(
+                f"Column {name!r}: marker {marker!r} needs the pandas-UDF path (M/L)"
+            )
+        fields.append(
+            T.StructField(name, T.StructType([T.StructField(marker, inner)]))
+        )
+    return T.StructType(fields)
+
+
+def _decode_field(struct_col: Column, name: str, marker: str) -> Column:
+    raw = struct_col[name][marker]
+    if marker == "S" or marker == "B":
+        out = raw
+    elif marker == "N":
+        out = raw.cast("double")
+    elif marker == "BOOL":
+        out = raw
+    elif marker == "NULL":
+        out = F.lit(None).cast("string")
+    elif marker == "SS" or marker == "BS":
+        out = F.array_sort(raw)
+    elif marker == "NS":
+        out = F.array_sort(F.transform(raw, lambda x: x.cast("double")))
+    else:  # pragma: no cover — guarded in image_schema
+        raise ValueError(marker)
+    return out.alias(name)
+
+
+def compile_direct_decoder(
+    df: DataFrame, image_col: str, columns: dict[str, str]
+) -> DataFrame:
+    """Decode a JSON descriptor image into typed top-level columns, JVM-side.
+
+    The entire decode is ``from_json`` + struct-field access + casts —
+    no Python, fully inside whole-stage codegen.  Equivalent semantics to
+    :func:`decode_record` restricted to scalar/set markers, in the DIRECT
+    mapping strategy (concrete sink columns,
+    ``aws_dms.py:350-417`` analog).
+    """
+    parsed = F.from_json(F.col(image_col), image_schema(columns))
+    df = df.withColumn("__img", parsed)
+    cols = [_decode_field(F.col("__img"), n, m) for n, m in columns.items()]
+    return df.select("*", *cols).drop("__img", image_col)

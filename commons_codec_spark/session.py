@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the CDC ingest workload.
+
+Local-mode settings mirror what we would submit on a real cluster via
+``spark-submit --py-files``: AQE on (runtime re-plan + skew-join split),
+shuffle partitions sized to cores (local) / 2-3x total cores (cluster),
+Arrow enabled for the vectorized decode UDFs, and UTC session time zone
+so results are comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "commons-codec-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession on ``local[cpus]``.
+
+    On a real cluster the same conf applies minus ``master``; nothing here
+    is local-only except the master URL itself.
+    """
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Make this package importable inside Python workers regardless of the
+    # driver's cwd — the local-mode analog of `spark-submit --py-files`.
+    # Workers inherit PYTHONPATH from the JVM, which inherits it from us,
+    # so this must happen before the SparkContext starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of small shuffle partitions + skew-join
+        # splitting; essential at 100 TB where static planning misestimates.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # Arrow transfer for pandas UDFs (the decode path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scan granularity: at 100 TB this bounds task size.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
