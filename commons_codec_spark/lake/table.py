@@ -1,0 +1,267 @@
+"""Bucket-partitioned copy-on-write keyed table with an atomic commit log.
+
+Layout::
+
+    root/
+      _meta.json                    # keys, key schema, n_buckets
+      _commits/v000000000001.json   # snapshot: bucket -> data dir,
+                                    # payload schema, applied batch ids
+      data/v000000000001/__bucket=NN/part-*.parquet
+
+Semantics (the Iceberg-MERGE analog, SURVEY.md §2.4 E1/E2/E5):
+
+* ``merge(net_changes, batch_id)`` applies a per-key net-change DataFrame
+  (output of :func:`operators.cdc_fold.fold_net_changes`): only buckets
+  containing changed keys are rewritten; untouched buckets are carried
+  forward by reference in the new snapshot.
+* exactly-once: every commit records applied ``batch_id``s; re-applying an
+  already-applied batch is a no-op.  With Structured Streaming's
+  checkpointed offsets this makes kill-and-resume duplicate-free.
+* ordering guard: an update/delete whose ``seq`` is older than the stored
+  row's ``_seq`` is skipped — the
+  ``whenMatchedUpdate(condition=s.seq >= t.seq)`` analog for cross-batch
+  LWW.
+* additive schema evolution: a batch carrying new payload columns widens
+  the snapshot schema (types recorded in the commit); prior rows read as
+  NULL (``mergeSchema`` analog; the north rule's ``lang`` case).
+
+At 100 TB: choose the bucket count at creation (e.g. 4096) so each bucket
+is a few tens of GB; a merge shuffles only the already-collapsed net-change
+rows and scans only touched buckets.  On a real cluster this class is
+replaced 1:1 by ``MERGE INTO`` on an Iceberg table bucketed by
+``bucket(N, repo, path)`` — same physical shape, same guarantees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from commons_codec_spark.operators.cdc_fold import DELETE, KEEP, SET
+
+SEQ_COL = "_seq"
+BUCKET_COL = "__bucket"
+
+
+class KeyedLakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "_meta.json")) as fh:
+            meta = json.load(fh)
+        self.keys: list[str] = meta["keys"]
+        self.key_schema: dict[str, str] = meta["key_schema"]
+        self.n_buckets: int = meta["n_buckets"]
+
+    # ------------------------------------------------------------------ setup
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        key_schema: dict[str, str],
+        payload_schema: dict[str, str] | None = None,
+        n_buckets: int = 32,
+    ) -> "KeyedLakeTable":
+        """Create an empty table.  Schemas are ``{column: spark_ddl_type}``."""
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        with open(os.path.join(root, "_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "keys": list(key_schema),
+                    "key_schema": key_schema,
+                    "n_buckets": n_buckets,
+                },
+                fh,
+            )
+        table = cls(spark, root)
+        table._write_commit(0, None, {}, [], payload_schema or {})
+        return table
+
+    # ------------------------------------------------------------------ commits
+
+    def _commit_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _current_commit(self) -> dict:
+        files = sorted(f for f in os.listdir(self._commit_dir()) if f.endswith(".json"))
+        with open(os.path.join(self._commit_dir(), files[-1])) as fh:
+            return json.load(fh)
+
+    def _write_commit(self, version, batch_id, buckets, applied, payload_schema):
+        payload = {
+            "version": version,
+            "batch_id": batch_id,
+            "buckets": buckets,  # bucket id (str) -> data path
+            "applied_batch_ids": applied,
+            "payload_schema": payload_schema,  # col -> spark ddl type, ordered
+        }
+        path = os.path.join(self._commit_dir(), f"v{version:012d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)
+
+    def applied_batch_ids(self) -> set:
+        return set(self._current_commit()["applied_batch_ids"])
+
+    def version(self) -> int:
+        return self._current_commit()["version"]
+
+    # ------------------------------------------------------------------ read
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), self.n_buckets)
+
+    def _full_schema(self, payload_schema: dict[str, str]) -> str:
+        cols = {**self.key_schema, **payload_schema, SEQ_COL: "long"}
+        return ", ".join(f"`{c}` {t}" for c, t in cols.items())
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current snapshot (optionally pruned to a bucket subset)."""
+        commit = self._current_commit()
+        payload_schema = commit["payload_schema"]
+        cols = self.keys + list(payload_schema) + [SEQ_COL]
+        paths = [
+            p
+            for b, p in commit["buckets"].items()
+            if buckets is None or int(b) in buckets
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], T._parse_datatype_string(self._full_schema(payload_schema))
+            )
+        # mergeSchema: buckets written before an additive evolution lack the
+        # new columns; fill them as typed NULLs.
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c, t in payload_schema.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(t))
+        return df.select(*cols)
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, net: DataFrame, batch_id=None) -> dict:
+        """Apply per-key net changes; returns merge metrics.
+
+        ``net`` columns: keys + aa/arow/aseq/pa/prow/pseq (see cdc_fold).
+        New payload columns inside arow/prow widen the table schema.
+        """
+        commit = self._current_commit()
+        if batch_id is not None and batch_id in commit["applied_batch_ids"]:
+            return {"skipped": True, "batch_id": batch_id, "version": commit["version"]}
+
+        # --- additive schema evolution
+        payload_schema = dict(commit["payload_schema"])
+        batch_fields = {
+            f.name: f.dataType.simpleString()
+            for f in net.schema["arow"].dataType.fields
+        }
+        for c, t in batch_fields.items():
+            payload_schema.setdefault(c, t)
+
+        # --- prune to touched buckets
+        net = net.withColumn(BUCKET_COL, self._bucket_expr()).cache()
+        touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
+        current = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
+
+        # --- merge join on keys (bucket-local; AQE handles skew split)
+        joined = current.alias("t").join(
+            net.alias("s"), on=self.keys + [BUCKET_COL], how="full_outer"
+        )
+
+        exists = F.col(f"t.{SEQ_COL}").isNotNull()
+        matched = F.col("s.aa").isNotNull()
+        action = (
+            F.when(~matched, F.lit(KEEP))
+            .when(exists, F.col("s.pa"))
+            .otherwise(F.col("s.aa"))
+        )
+        row = F.when(exists, F.col("s.prow")).otherwise(F.col("s.arow"))
+        seq = F.when(exists, F.col("s.pseq")).otherwise(F.col("s.aseq"))
+        # ordering guard: stale changes lose to the stored row (cross-batch LWW)
+        guard = F.when(~exists, F.lit(True)).otherwise(
+            F.coalesce(seq >= F.col(f"t.{SEQ_COL}"), F.lit(False))
+        )
+        change = (action != KEEP) & guard
+
+        def out_col(c: str, t: str):
+            new_val = row[c] if c in batch_fields else F.lit(None).cast(t)
+            keep_val = (
+                F.col(f"t.{c}") if c in commit["payload_schema"] else F.lit(None).cast(t)
+            )
+            return F.when(change, new_val).otherwise(keep_val).alias(c)
+
+        result = joined.filter(
+            # drop rows deleted by the batch, and non-inserts of absent keys
+            ~(
+                (change & (action == DELETE))
+                | (~exists & ~(change & (action == SET)))
+            )
+        ).select(
+            *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in self.keys],
+            *[out_col(c, t) for c, t in payload_schema.items()],
+            F.when(change, seq).otherwise(F.col(f"t.{SEQ_COL}")).alias(SEQ_COL),
+            F.col(BUCKET_COL),
+        )
+
+        # --- copy-on-write: write only touched buckets
+        version = commit["version"] + 1
+        out_dir = os.path.join(self.root, "data", f"v{version:012d}")
+        if touched:
+            (
+                result.repartition(len(touched), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+        buckets = dict(commit["buckets"])
+        for b in touched:
+            bpath = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bpath):
+                buckets[str(b)] = bpath
+            else:
+                buckets.pop(str(b), None)  # bucket emptied by deletes
+        applied = commit["applied_batch_ids"] + (
+            [batch_id] if batch_id is not None else []
+        )
+        self._write_commit(version, batch_id, buckets, applied, payload_schema)
+        net.unpersist()
+        return {
+            "batch_id": batch_id,
+            "version": version,
+            "touched_buckets": len(touched),
+            "skipped": False,
+        }
+
+    # ------------------------------------------------------------------ misc
+
+    def drop_data(self) -> None:
+        """DROP TABLE analog (E7): next snapshot is empty; history retained."""
+        commit = self._current_commit()
+        self._write_commit(
+            commit["version"] + 1, None, {}, commit["applied_batch_ids"],
+            commit["payload_schema"],
+        )
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop data version dirs unreferenced by the last N snapshots."""
+        commits = sorted(
+            f for f in os.listdir(self._commit_dir()) if f.endswith(".json")
+        )
+        live: set[str] = set()
+        for name in commits[-keep_last:]:
+            with open(os.path.join(self._commit_dir(), name)) as fh:
+                for p in json.load(fh)["buckets"].values():
+                    live.add(p.split("/data/")[1].split("/")[0])
+        data_dir = os.path.join(self.root, "data")
+        for version_dir in os.listdir(data_dir):
+            if version_dir not in live:
+                shutil.rmtree(os.path.join(data_dir, version_dir), ignore_errors=True)

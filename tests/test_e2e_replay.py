@@ -1,0 +1,157 @@
+"""End-to-end replay: decode → fold → merge vs the sequential oracle.
+
+Mirrors the reference's integration strategy (CrateDB testcontainer replay
+asserting final table state, incl. the run-twice idempotence test
+`/root/reference/tests/transform/test_dynamodb_cdc.py:349-379`) against the
+dict-machine oracle, with sha256 state equality (BASELINE.json:15).
+"""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from commons_codec_spark.functions import dynamodb as ddb
+from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.operators.cdc_fold import fold_net_changes
+from commons_codec_spark.oracle import replay_oracle, state_hash
+from commons_codec_spark.sources.eventlog import (
+    SOURCE_CODE_COLUMNS,
+    generate_event_log,
+)
+from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+KEYS = ["repo", "path"]
+COLUMNS = ["repo", "path", "commit", "lang", "content", "size", "_seq"]
+
+
+def _oracle_state(events_rows):
+    """Decode envelope rows with the pure lattice and replay sequentially."""
+    evs = []
+    for r in events_rows:
+        image = r.image if r.image is not None else r.keys_json
+        decoded = {k: ddb.deserialize(v) for k, v in json.loads(image).items()}
+        evs.append(
+            {
+                "op": r.op,
+                "event_id": r.event_id,
+                "commit_seq": r.commit_seq,
+                **decoded,
+            }
+        )
+    return replay_oracle(evs, KEYS)
+
+
+def _engine_rows(table):
+    return [r.asDict() for r in table.read().collect()]
+
+
+@pytest.fixture(scope="module")
+def small_log(spark):
+    df = generate_event_log(
+        spark, n_events=4000, n_keys=400, n_repos=8, seed=7, batch_size=1000
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_state(small_log):
+    return _oracle_state(small_log.collect())
+
+
+def _fresh_table(spark, tmp_path, n_buckets=8):
+    return KeyedLakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        key_schema={"repo": "string", "path": "string"},
+        n_buckets=n_buckets,
+    )
+
+
+def _pipeline(spark, table, tmp_path, **kw):
+    cfg = PipelineConfig(keys=KEYS, image_columns=SOURCE_CODE_COLUMNS, **kw)
+    return CDCPipeline(spark, table, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+
+
+def _assert_state_matches(table, oracle_state):
+    engine = _engine_rows(table)
+    assert len(engine) == len(oracle_state)
+    oracle_rows = list(oracle_state.values())
+    # keys live in the oracle rows too
+    for (repo, path), row in oracle_state.items():
+        row.setdefault("repo", repo), row.setdefault("path", path)
+    assert state_hash(engine, COLUMNS) == state_hash(oracle_rows, COLUMNS)
+
+
+def test_replay_matches_oracle(spark, tmp_path, small_log, oracle_state):
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path)
+    metrics = pipe.run_replay(small_log)
+    assert all(not m.get("skipped") for m in metrics)
+    _assert_state_matches(table, oracle_state)
+
+
+def test_replay_salted_two_phase(spark, tmp_path, small_log, oracle_state):
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path, salt_chunks=5)
+    pipe.run_replay(small_log)
+    _assert_state_matches(table, oracle_state)
+
+
+def test_run_twice_is_idempotent(spark, tmp_path, small_log, oracle_state):
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path)
+    pipe.run_replay(small_log)
+    v1 = table.version()
+    again = pipe.run_replay(small_log)  # full re-delivery of every batch
+    assert all(m.get("skipped") for m in again)
+    assert table.version() == v1
+    _assert_state_matches(table, oracle_state)
+
+
+def test_kill_and_resume(spark, tmp_path, small_log, oracle_state):
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path)
+    pipe.run_replay(small_log, stop_after_batches=2)  # "crash" mid-stream
+    assert len(table.applied_batch_ids()) == 2
+    # new process: fresh pipeline over the same table + checkpoint
+    pipe2 = _pipeline(spark, table, tmp_path)
+    pipe2.run_replay(small_log)
+    _assert_state_matches(table, oracle_state)
+
+
+def test_schema_evolution_lang_column(spark, tmp_path, small_log, oracle_state):
+    """Start with the pre-`lang` schema; discovery must widen it (north rule)."""
+    from commons_codec_spark.sources.eventlog import SOURCE_CODE_COLUMNS_V0
+
+    table = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(keys=KEYS, image_columns=SOURCE_CODE_COLUMNS_V0)
+    pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=str(tmp_path / "ck2"))
+    pipe.run_replay(small_log)
+    assert "lang" in pipe._image_columns
+    _assert_state_matches(table, oracle_state)
+    # rows written before the cutover read as NULL lang
+    langs = {r.lang for r in table.read().select("lang").distinct().collect()}
+    assert None in langs or len(langs) > 1
+
+
+def test_ordering_guard_rejects_stale_cross_batch_update(spark, tmp_path):
+    table = _fresh_table(spark, tmp_path, n_buckets=2)
+    rows = [
+        ("insert", "r", "p", "c1", "body-new", 100),
+        ("update", "r", "p", "c2", "body-stale", 50),  # older seq, later batch
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, repo string, path string, commit string, content string, commit_seq long"
+    )
+    net1 = fold_net_changes(
+        df.filter(F.col("commit_seq") == 100), KEYS, ["commit", "content"]
+    )
+    net2 = fold_net_changes(
+        df.filter(F.col("commit_seq") == 50), KEYS, ["commit", "content"]
+    )
+    table.merge(net1, batch_id=0)
+    table.merge(net2, batch_id=1)  # stale update must lose
+    row = table.read().collect()[0]
+    assert row.commit == "c1" and row.content == "body-new"
