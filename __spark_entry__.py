@@ -1,38 +1,73 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay at sf0.001; ``queries()`` /
+``oracle_sql()`` expose each implemented operator (SURVEY.md §2) paired
+with a DuckDB-checkable ANSI-SQL oracle.  Implementations live in
+``commons_codec_spark/`` — this file is just the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_worker_path(spark: SparkSession) -> None:
+    """Make the package importable in Python workers (pandas-UDF queries)."""
+    try:
+        spark.sparkContext.addPyFile  # probe
+        paths = os.environ.get("PYTHONPATH", "")
+        if _REPO not in paths.split(os.pathsep):
+            os.environ["PYTHONPATH"] = _REPO + (os.pathsep + paths if paths else "")
+    except Exception:  # noqa: BLE001
+        pass
+    # Ship the package as an archive so already-started executors see it too.
+    import glob
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "commons_codec_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for f in glob.glob(
+                os.path.join(_REPO, "commons_codec_spark", "**", "*.py"),
+                recursive=True,
+            ):
+                zf.write(f, os.path.relpath(f, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC envelope encode -> decode -> fold -> final state."""
+    _ensure_worker_path(spark)
+    from commons_codec_spark.queries import q_cdc_replay_final_state
+
+    return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from commons_codec_spark.queries import CORE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_worker_path(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in CORE_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from commons_codec_spark.queries import CORE_QUERIES
+
+    return {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
