@@ -1,0 +1,282 @@
+"""MongoDB Extended JSON decode lattice (SURVEY.md §2.3 D4–D7) + CDC translate.
+
+Reproduces the semantics of the reference's converter
+(``/root/reference/src/commons_codec/transform/mongodb.py:67-187``) without
+pymongo/bson (not available here): the canonical Extended JSON subset is
+decoded directly from the public spec
+(https://www.mongodb.com/docs/manual/reference/mongodb-extended-json/),
+validated against the reference's golden pairs
+(``tests/transform/mongodb/data.py:15-224`` — the ``canonical`` section).
+
+Decode rules (with default flags ``timestamp_to_epoch=True,
+timestamp_use_milliseconds=True``, the CDC translator defaults,
+``mongodb.py:227``):
+
+* ``$oid`` → hex string
+* ``$date`` ISO-8601 / ``{"$numberLong": s}`` / bare int → epoch-ms int
+  (second resolution × 1000 — the reference goes through
+  ``calendar.timegm(utctimetuple())``, truncating sub-second parts);
+  out-of-range epochs → ``0`` (InvalidBSON fallback, ``mongodb.py:130-134``)
+* ``$numberInt`` → int, ``$numberDouble`` → float,
+  ``$numberLong`` → **string** (pymongo yields ``bson.Int64`` which the
+  reference stringifies), except inside ``$date``
+* ``$numberDecimal`` → string (``"42.42"``, ``"NaN"``, ``"Infinity"``)
+* ``$binary`` subtype 04 → UUID string; other subtypes → normalized base64
+* ``$timestamp {t,i}`` → epoch-ms int (t × 1000)
+* ``$regularExpression`` → ``"Regex('<pattern>', <flags>)"``
+* ``$symbol`` → plain string; ``$code`` (scopeless) → code string
+* ``$maxKey``/``$minKey`` → ``"MaxKey()"`` / ``"MinKey()"``
+* ``$undefined`` → None
+* multi-key ``$``-dicts (``$code+$scope``, DBRef) recurse as plain dicts
+
+Sets/tuples (Python-native inputs) decode to sorted lists / lists for
+distributed determinism (reference materializes Python ``set`` iteration
+order; its tests use ``mock.ANY`` for that reason).
+"""
+
+from __future__ import annotations
+
+import base64
+import calendar
+import datetime as dt
+import json
+import re
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+_RE_FLAG_VALUES = {"i": 2, "l": 4, "m": 8, "s": 16, "u": 32, "x": 64}
+
+#: datetime bounds representable by bson (yields InvalidBSON outside)
+_MS_MIN = -62135596800000  # year 1
+_MS_MAX = 253402300799999  # year 9999
+
+
+class MongoDecodeConfig:
+    def __init__(
+        self,
+        timestamp_to_epoch: bool = True,
+        timestamp_to_iso8601: bool = False,
+        timestamp_use_milliseconds: bool = True,
+    ):
+        self.timestamp_to_epoch = timestamp_to_epoch
+        self.timestamp_to_iso8601 = timestamp_to_iso8601
+        self.timestamp_use_milliseconds = timestamp_use_milliseconds
+
+
+DEFAULT_CONFIG = MongoDecodeConfig()
+
+
+def _parse_iso(value: str) -> dt.datetime:
+    v = value.replace("Z", "+00:00")
+    out = dt.datetime.fromisoformat(v)
+    if out.tzinfo is None:
+        out = out.replace(tzinfo=dt.timezone.utc)
+    return out
+
+
+def convert_epoch(value: Any) -> float:
+    """int passthrough; datetime/str/bytes → UTC epoch seconds (D6)."""
+    if isinstance(value, bool):
+        raise ValueError(f"Unable to convert datetime value: {value}")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, dt.datetime):
+        datetime = value
+    elif isinstance(value, bytes):
+        datetime = _parse_iso(value.decode("utf-8"))
+    elif isinstance(value, str):
+        datetime = _parse_iso(value)
+    else:
+        raise ValueError(f"Unable to convert datetime value: {value}")
+    return calendar.timegm(datetime.utctimetuple())
+
+
+def convert_iso8601(value: Any) -> str:
+    """str passthrough; int/datetime/bytes → isoformat (D7)."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bytes):
+        return value.decode("utf-8")
+    if isinstance(value, dt.datetime):
+        return value.isoformat()
+    if isinstance(value, int):
+        return dt.datetime.fromtimestamp(value, tz=dt.timezone.utc).isoformat()
+    raise ValueError(f"Unable to convert datetime value: {value}")
+
+
+def _decode_datetime(ms: int, config: MongoDecodeConfig) -> Any:
+    if ms < _MS_MIN or ms > _MS_MAX:
+        return 0  # InvalidBSON fallback (mongodb.py:130-134)
+    when = dt.datetime.fromtimestamp(ms / 1000.0, tz=dt.timezone.utc)
+    if config.timestamp_to_epoch:
+        out = convert_epoch(when)
+        if config.timestamp_use_milliseconds:
+            out = int(out) * 1000
+        return out
+    if config.timestamp_to_iso8601:
+        return convert_iso8601(when)
+    return when
+
+
+def decode_extended_json(value: dict, config: MongoDecodeConfig = DEFAULT_CONFIG) -> Any:
+    """Decode one single-key ``$``-prefixed canonical dict (D5)."""
+    marker = next(iter(value))
+    payload = value[marker]
+
+    if marker == "$oid":
+        return str(payload)
+    if marker == "$date":
+        if isinstance(payload, dict):
+            ms = int(payload["$numberLong"])
+        elif isinstance(payload, str):
+            when = _parse_iso(payload)
+            ms = int(calendar.timegm(when.utctimetuple())) * 1000 + when.microsecond // 1000
+        else:
+            ms = int(payload)
+        return _decode_datetime(ms, config)
+    if marker == "$numberInt":
+        return int(payload)
+    if marker == "$numberDouble":
+        return float(payload)
+    if marker == "$numberLong":
+        return str(int(payload))  # bson.Int64 stringified by the reference
+    if marker == "$numberDecimal":
+        return str(payload)
+    if marker == "$binary":
+        raw = base64.b64decode(payload["base64"])
+        subtype = int(payload.get("subType", "0"), 16)
+        if subtype in (3, 4):
+            if subtype == 4:
+                return str(uuid.UUID(bytes=raw))
+            return base64.b64encode(raw).decode()
+        return base64.b64encode(raw).decode()
+    if marker == "$uuid":
+        return str(payload)
+    if marker == "$timestamp":
+        return _decode_datetime(int(payload["t"]) * 1000, config)
+    if marker == "$regularExpression":
+        flags = sum(_RE_FLAG_VALUES.get(c, 0) for c in payload.get("options", ""))
+        return f"Regex('{payload['pattern']}', {flags})"
+    if marker == "$symbol":
+        return str(payload)
+    if marker == "$code":
+        return str(payload)
+    if marker == "$maxKey":
+        return "MaxKey()"
+    if marker == "$minKey":
+        return "MinKey()"
+    if marker == "$undefined":
+        return None
+    # Unknown $-marker: keep as-is (reference's object_hook passthrough)
+    return {marker: decode_value(payload, config)}
+
+
+def decode_value(value: Any, config: MongoDecodeConfig = DEFAULT_CONFIG) -> Any:
+    """Recursive Extended JSON walk (``mongodb.py:67-87``)."""
+    if isinstance(value, dict):
+        if len(value) == 1 and next(iter(value)).startswith("$"):
+            return decode_extended_json(value, config)
+        return {k: decode_value(v, config) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [decode_value(v, config) for v in value]
+    if isinstance(value, set):
+        try:
+            return sorted(value)
+        except TypeError:
+            return list(value)
+    if isinstance(value, dt.datetime):
+        return _decode_datetime(
+            int(calendar.timegm(value.utctimetuple())) * 1000
+            + value.microsecond // 1000,
+            config,
+        )
+    return value
+
+
+def decode_document(doc: dict, config: MongoDecodeConfig = DEFAULT_CONFIG) -> dict:
+    return decode_value(doc, config)
+
+
+def decode_cdc_event(event: dict, config: MongoDecodeConfig = DEFAULT_CONFIG) -> dict | None:
+    """Change-stream event → normalized change row (EP3, ``mongodb.py:304-348``).
+
+    Returns ``{"op", "oid", "record"}``; ``drop``/``invalidate`` → None;
+    missing/unknown operationType raises ValueError (→ DLQ when vectorized).
+    """
+    op_type = event.get("operationType")
+    if not op_type:
+        raise ValueError(f"Operation Type missing or empty: {event}")
+    oid_raw = event.get("documentKey", {}).get("_id")
+    oid = (
+        decode_value(oid_raw, config) if isinstance(oid_raw, dict) else str(oid_raw)
+    )
+    if op_type == "insert":
+        return {"op": "insert", "oid": str(oid), "record": decode_document(event.get("fullDocument") or {}, config)}
+    if op_type in ("update", "replace"):
+        return {"op": "update", "oid": str(oid), "record": decode_document(event.get("fullDocument") or {}, config)}
+    if op_type == "delete":
+        return {"op": "delete", "oid": str(oid), "record": None}
+    if op_type in ("drop", "invalidate"):
+        return None
+    raise ValueError(f"Unknown CDC operation type: {op_type}")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized form
+# ---------------------------------------------------------------------------
+
+MONGO_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("oid", T.StringType()),
+        T.StructField("record", T.StringType()),  # JSON-encoded decoded doc
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_mongo_events_pandas(events_json: pd.Series) -> pd.DataFrame:
+    """Arrow-batch kernel: change-stream event JSON -> (op, oid, record)."""
+    out = {"op": [], "oid": [], "record": [], "error": []}
+    for payload in events_json:
+        try:
+            rec = decode_cdc_event(json.loads(payload))
+            if rec is None:  # drop/invalidate → skip row downstream
+                out["op"].append(None)
+                out["oid"].append(None)
+                out["record"].append(None)
+                out["error"].append(None)
+                continue
+            out["op"].append(rec["op"])
+            out["oid"].append(rec["oid"])
+            out["record"].append(
+                json.dumps(rec["record"], separators=(",", ":"), sort_keys=True)
+                if rec["record"] is not None
+                else None
+            )
+            out["error"].append(None)
+        except Exception as exc:  # noqa: BLE001 — poison rows go to DLQ
+            out["op"].append(None)
+            out["oid"].append(None)
+            out["record"].append(None)
+            out["error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+def decode_mongo_cdc(df: DataFrame, event_col: str = "event") -> DataFrame:
+    """mapInPandas wrapper: decode a stream of change-stream event JSON."""
+    passthrough = [f for f in df.schema.fields if f.name != event_col]
+    out_schema = T.StructType(list(passthrough) + list(MONGO_CDC_SCHEMA.fields))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = decode_mongo_events_pandas(pdf[event_col])
+            decoded.index = pdf.index
+            yield pd.concat([pdf.drop(columns=[event_col]), decoded], axis=1)
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -168,7 +168,11 @@ class KeyedLakeTable:
             payload_schema.setdefault(c, t)
 
         # --- prune to touched buckets
-        net = net.withColumn(BUCKET_COL, self._bucket_expr()).cache()
+        # localCheckpoint (not cache): the fold's aggregate expression tree is
+        # large, and every downstream action would re-run Catalyst analysis
+        # over it; truncating lineage makes the join/write plan tiny.  Safe
+        # inside a micro-batch — on failure the whole batch replays.
+        net = net.withColumn(BUCKET_COL, self._bucket_expr()).localCheckpoint()
         touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
         current = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
 

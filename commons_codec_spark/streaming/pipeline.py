@@ -28,7 +28,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from commons_codec_spark.functions.dynamodb import compile_direct_decoder
 from commons_codec_spark.lake.table import KeyedLakeTable
@@ -127,15 +127,19 @@ class CDCPipeline:
         )
         decoded = compile_direct_decoder(src, "image", self._image_columns)
 
-        # DLQ: events whose key fields failed to decode
+        # DLQ: events whose key fields failed to decode.  Counted via an
+        # Observation (piggybacks on the merge's own pass — no extra job);
+        # rows are only materialized separately when a DLQ sink is set.
         key_ok = None
         for k in self.cfg.keys:
             cond = F.col(k).isNotNull()
             key_ok = cond if key_ok is None else (key_ok & cond)
-        bad = decoded.filter(~key_ok)
-        dlq_count = bad.count()
-        if dlq_count and self.cfg.dlq_dir:
-            bad.write.mode("append").parquet(self.cfg.dlq_dir)
+        obs = Observation(f"dlq-{batch_id}")
+        decoded = decoded.observe(
+            obs, F.sum(F.when(~key_ok, 1).otherwise(0)).alias("dlq_rows")
+        )
+        if self.cfg.dlq_dir:
+            decoded.filter(~key_ok).write.mode("append").parquet(self.cfg.dlq_dir)
         good = decoded.filter(key_ok)
 
         payload_cols = [c for c in self._image_columns if c not in self.cfg.keys]
@@ -147,6 +151,7 @@ class CDCPipeline:
             salt_chunks=self.cfg.salt_chunks,
         )
         merge_metrics = self.table.merge(net, batch_id=batch_id)
+        dlq_count = int(obs.get.get("dlq_rows") or 0)
 
         if self.checkpoint_dir:
             self.registry.save(self.checkpoint_dir, batch_id)

@@ -1,0 +1,132 @@
+"""MongoDB Extended JSON lattice goldens (D4–D7).
+
+Expectations mirror the reference's canonical all-types pairs
+(`/root/reference/tests/transform/mongodb/data.py:15-224`) and converter
+flag matrix (`tests/transform/mongodb/test_mongodb_convert.py:23-45`),
+restricted to JSON-representable inputs (change streams deliver JSON; the
+live-BSON cases need pymongo, absent here by design).
+"""
+
+import datetime as dt
+import json
+
+import pytest
+
+from commons_codec_spark.functions import mongodb as mdb
+
+
+def test_oid_and_scalars():
+    assert mdb.decode_value({"$oid": "56027fcae4b09385a85f9344"}) == "56027fcae4b09385a85f9344"
+    assert mdb.decode_value({"$numberInt": "-2147483648"}) == -2147483648
+    assert mdb.decode_value({"$numberDouble": "-1.2345678921232E+18"}) == -1.2345678921232e18
+    # canonical int64 stringifies (bson.Int64 -> str in the reference)
+    assert mdb.decode_value({"$numberLong": "-9223372036854775808"}) == "-9223372036854775808"
+
+
+def test_decimal128_variants():
+    assert mdb.decode_value({"$numberDecimal": "42.42"}) == "42.42"
+    assert mdb.decode_value({"$numberDecimal": "NaN"}) == "NaN"
+    assert mdb.decode_value({"$numberDecimal": "Infinity"}) == "Infinity"
+
+
+def test_dates_epoch_ms():
+    assert mdb.decode_value({"$date": "2015-09-23T10:32:42.33Z"}) == 1443004362000
+    assert mdb.decode_value({"$date": {"$numberLong": "1356351330000"}}) == 1356351330000
+    # out-of-range epoch -> 0 (InvalidBSON fallback)
+    assert mdb.decode_value({"$date": {"$numberLong": "-9223372036854775808"}}) == 0
+    assert mdb.decode_value({"$timestamp": {"t": 123456789, "i": 42}}) == 123456789000
+
+
+def test_date_modes():
+    iso = mdb.MongoDecodeConfig(timestamp_to_epoch=False, timestamp_to_iso8601=True)
+    assert mdb.decode_value({"$date": "2015-09-23T10:32:42.33Z"}, iso) == (
+        "2015-09-23T10:32:42.330000+00:00"
+    )
+    secs = mdb.MongoDecodeConfig(timestamp_use_milliseconds=False)
+    assert mdb.decode_value({"$date": {"$numberLong": "1356351330000"}}, secs) == 1356351330
+
+
+def test_binary_subtypes():
+    uuid_in = {"$binary": {"base64": "c//SZESzTGmQ6OfR38A11A==", "subType": "04"}}
+    assert mdb.decode_value(uuid_in) == "73ffd264-44b3-4c69-90e8-e7d1dfc035d4"
+    # non-UUID subtypes re-encode (base64 normalization, cf. golden 3B== -> 3A==)
+    other = {"$binary": {"base64": "c//AYDC420csII3929483B==", "subType": "80"}}
+    assert mdb.decode_value(other) == "c//AYDC420csII3929483A=="
+
+
+def test_special_markers():
+    assert mdb.decode_value({"$maxKey": 1}) == "MaxKey()"
+    assert mdb.decode_value({"$minKey": 1}) == "MinKey()"
+    assert mdb.decode_value({"$symbol": "foo"}) == "foo"
+    assert mdb.decode_value({"$undefined": True}) is None
+    assert mdb.decode_value({"$regularExpression": {"pattern": ".*", "options": ""}}) == "Regex('.*', 0)"
+    assert mdb.decode_value({"$code": "abab"}) == "abab"
+
+
+def test_multikey_dollar_dicts_recurse():
+    assert mdb.decode_value(
+        {"$code": "abab", "$scope": {"x": {"$numberInt": "42"}}}
+    ) == {"$code": "abab", "$scope": {"x": 42}}
+    assert mdb.decode_value(
+        {"$id": {"$oid": "56027fcae4b09385a85f9344"}, "$ref": "foo", "$db": "bar"}
+    ) == {"$id": "56027fcae4b09385a85f9344", "$ref": "foo", "$db": "bar"}
+    assert mdb.decode_value({"$a": "foo"}) == {"$a": "foo"}
+
+
+def test_nested_lists_and_python_types():
+    assert mdb.decode_value(
+        [{"$date": "2015-09-24T10:32:42.33Z"}, {"$date": {"$numberLong": "2147483647000"}}]
+    ) == [1443090762000, 2147483647000]
+    assert mdb.decode_value({1, 3, 2}) == [1, 2, 3]
+    assert mdb.decode_value((1, 2)) == [1, 2]
+    assert mdb.decode_value(dt.datetime(2024, 7, 16, 14, 29, 22, 907000)) == 1721140162000
+
+
+def test_convert_epoch_and_iso8601():
+    assert mdb.convert_epoch(1721140162) == 1721140162
+    assert mdb.convert_epoch(dt.datetime(2024, 7, 16, 14, 29, 22)) == 1721140162
+    assert mdb.convert_epoch("2024-07-16T14:29:22Z") == 1721140162
+    assert mdb.convert_iso8601("x") == "x"
+    assert mdb.convert_iso8601(1721140162) == "2024-07-16T14:29:22+00:00"
+    with pytest.raises(ValueError):
+        mdb.convert_epoch(4.5)
+
+
+def test_cdc_event_dispatch():
+    ins = mdb.decode_cdc_event(
+        {
+            "operationType": "insert",
+            "documentKey": {"_id": {"$oid": "669683c2b0750b2c84893f3e"}},
+            "fullDocument": {"_id": {"$oid": "669683c2b0750b2c84893f3e"}, "t": 42.42},
+        }
+    )
+    assert ins == {
+        "op": "insert",
+        "oid": "669683c2b0750b2c84893f3e",
+        "record": {"_id": "669683c2b0750b2c84893f3e", "t": 42.42},
+    }
+    assert mdb.decode_cdc_event({"operationType": "drop"}) is None
+    assert mdb.decode_cdc_event({"operationType": "invalidate"}) is None
+    delete = mdb.decode_cdc_event(
+        {"operationType": "delete", "documentKey": {"_id": {"$oid": "aa"}}}
+    )
+    assert delete == {"op": "delete", "oid": "aa", "record": None}
+    with pytest.raises(ValueError, match="missing or empty"):
+        mdb.decode_cdc_event({})
+    with pytest.raises(ValueError, match="Unknown CDC operation"):
+        mdb.decode_cdc_event({"operationType": "bogus"})
+
+
+def test_vectorized_mongo_decode(spark):
+    rows = [
+        (json.dumps({"operationType": "insert",
+                     "documentKey": {"_id": {"$oid": "a1"}},
+                     "fullDocument": {"_id": {"$oid": "a1"}, "x": {"$numberInt": "7"}}}),),
+        (json.dumps({"operationType": "drop"}),),
+        ('{"broken',),
+    ]
+    df = spark.createDataFrame(rows, "event string")
+    out = mdb.decode_mongo_cdc(df).collect()
+    assert out[0].op == "insert" and json.loads(out[0].record) == {"_id": "a1", "x": 7}
+    assert out[1].op is None and out[1].error is None  # skipped drop
+    assert out[2].error is not None  # poison -> DLQ

@@ -1,0 +1,129 @@
+"""Telemetry decoder goldens (D10–D14), mirroring the reference's
+`tests/decode/test_tasmota.py`, `test_sensor_community.py`, `test_tts_ttn.py`.
+"""
+
+import json
+
+from commons_codec_spark.functions import telemetry as tel
+
+
+def test_is_number():
+    assert tel.is_number("3.14") and tel.is_number("-66") and tel.is_number(3)
+    assert tel.is_number("٣")  # unicode numeral
+    assert not tel.is_number("NRZ-2018-123B") and not tel.is_number(None)
+
+
+def test_tasmota_sensor_flat_and_ds_subtree():
+    payload = json.dumps(
+        {
+            "Time": "2017-10-05T22:39:45",
+            "DS18x20": {
+                "DS1": {"Type": "DS18B20", "Address": "28FF4C", "Temperature": 25.37},
+                "DS2": {"Type": "DS18B20", "Address": "28FF1E", "Temperature": 30.44},
+            },
+            "DHT22": {"Temperature": 33.2, "Humidity": 30},
+            "TempUnit": "C",
+        }
+    )
+    assert tel.decode_tasmota_sensor(payload) == {
+        "Time": "2017-10-05T22:39:45",
+        "DS18x20.DS1.Temperature": 25.37,
+        "DS18x20.DS2.Temperature": 30.44,
+        "DHT22.Temperature": 33.2,
+        "DHT22.Humidity": 30,
+    }
+
+
+def test_tasmota_state():
+    payload = json.dumps(
+        {
+            "Time": "2019-06-02T22:13:07",
+            "Uptime": "1T18:10:35",
+            "Vcc": 3.182,
+            "Sleep": 50,
+            "LoadAvg": 19,
+            "Wifi": {"AP": 1, "Channel": 1, "RSSI": 100, "LinkCount": 1},
+        }
+    )
+    assert tel.decode_tasmota_state(payload) == {
+        "Time": "2019-06-02T22:13:07",
+        "Device.Vcc": 3.182,
+        "Device.Sleep": 50,
+        "Device.LoadAvg": 19,
+        "Device.Wifi.Channel": 1,
+        "Device.Wifi.RSSI": 100,
+        "Device.Wifi.LinkCount": 1,
+    }
+
+
+def test_sensor_community_coercion():
+    payload = json.dumps(
+        {
+            "esp8266id": 12041741,
+            "sensordatavalues": [
+                {"value_type": "SDS_P1", "value": "35.67"},
+                {"value_type": "samples", "value": "3016882"},
+                {"value_type": "signal", "value": "-66"},
+                {"value_type": "note", "value": "NRZ-2018-123B"},
+            ],
+        }
+    )
+    out = tel.decode_sensor_community(payload)
+    assert out == {
+        "SDS_P1": 35.67,
+        "samples": 3016882,
+        "signal": -66,
+        "note": "NRZ-2018-123B",
+    }
+    assert isinstance(out["samples"], int) and isinstance(out["SDS_P1"], float)
+
+
+def test_tts_ttn_uplink():
+    payload = json.dumps(
+        {
+            "end_device_ids": {"device_id": "dev-1"},
+            "received_at": "2020-01-01T00:00:00Z",
+            "uplink_message": {
+                "f_cnt": 10,
+                "decoded_payload": {"temperature": 21.5},
+                "settings": {
+                    "data_rate": {"lora": {"bandwidth": 125000, "spreading_factor": 7}},
+                    "frequency": "868300000",
+                },
+                "rx_metadata": [
+                    {"gateway_ids": {"gateway_id": "gw1"}, "rssi": -70, "snr": 9.25},
+                    {"gateway_ids": {"gateway_id": "gw2"}, "rssi": -90, "snr": 5.5},
+                ],
+            },
+        }
+    )
+    assert tel.decode_tts_ttn(payload) == {
+        "device_id": "dev-1",
+        "timestamp": "2020-01-01T00:00:00Z",
+        "temperature": 21.5,
+        "bw": 125.0,
+        "sf": 7,
+        "freq": 868.3,
+        "counter": 10,
+        "gtw_count": 2,
+        "gw_gw1_rssi": -70,
+        "gw_gw1_snr": 9.25,
+        "gw_gw2_rssi": -90,
+        "gw_gw2_snr": 5.5,
+    }
+
+
+def test_vectorized_telemetry(spark):
+    rows = [
+        (1, json.dumps({"Time": "t1", "DHT22": {"Temperature": 33.2}})),
+        (2, "{bad json"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    out = tel.decode_telemetry(df, "tasmota_sensor")
+    typed = tel.readings_to_columns(
+        out, {"Time": "string", "DHT22.Temperature": "double"}
+    )
+    rows = {r.id: r for r in typed.collect()}
+    assert rows[1].asDict()["DHT22.Temperature"] == 33.2
+    assert rows[1].Time == "t1" and rows[1].error is None
+    assert rows[2].error is not None
