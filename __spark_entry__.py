@@ -54,9 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict:
     from commons_codec_spark.queries import CORE_QUERIES
+    from commons_codec_spark.queries_pipeline import PIPELINE_QUERIES
 
+    return {**CORE_QUERIES, **PIPELINE_QUERIES}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_worker_path(spark)
@@ -64,10 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, (fn, _sql) in CORE_QUERIES.items()}
+    return {name: wrap(fn) for name, (fn, _sql) in _all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from commons_codec_spark.queries import CORE_QUERIES
-
-    return {name: sql for name, (_fn, sql) in CORE_QUERIES.items() if sql}
+    return {name: sql for name, (_fn, sql) in _all_queries().items() if sql}

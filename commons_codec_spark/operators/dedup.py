@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all engine-portable (md5-based hashing so a SQL oracle can
+reproduce them bit-for-bit; no engine-specific hash functions):
+
+* exact           — group by md5(normalized text)
+* minhash + LSH   — word-shingle minhash signatures, banded bucket join,
+                    exact-Jaccard verification of candidates
+* n-gram Jaccard  — exact word-3-gram Jaccard for given candidate pairs
+* simhash         — 16-bit md5-derived simhash + Hamming-ball pairs
+* embedding cosine— near-dup by quantized-integer cosine (see similarity)
+
+Scale notes (100 TB): the LSH path is the only one that avoids O(n²) —
+its shuffle volume is O(n · bands) and the verify join only touches
+bucket-colliding pairs.  Signatures are built with higher-order column
+functions (JVM, one pass); the band join is a self-equi-join that AQE
+can split on skewed buckets (identical boilerplate text is exactly such
+a hot bucket).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from commons_codec_spark.operators.text import normalize
+
+# ---------------------------------------------------------------------------
+# shingles + exact jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (sorted for determinism)."""
+    toks = F.split(normalize(text), " ")
+    count = F.size(toks) - (n - 1)
+    grams = F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def jaccard_pct(a: Column, b: Column) -> Column:
+    """floor(100 * |a∩b| / |a∪b|) over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.floor(inter * 100.0 / F.greatest(union, F.lit(1))).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mark every row whose normalized text already appeared under a lower id.
+
+    One hash-shuffle on the fingerprint; keeps all columns + ``content_md5``
+    and ``is_dup``.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(normalize(F.col(text_col)))
+    w = Window.partitionBy("content_md5")
+    return (
+        df.withColumn("content_md5", fp)
+        .withColumn("__keeper", F.min(id_col).over(w))
+        .withColumn("is_dup", (F.col(id_col) != F.col("__keeper")).cast("boolean"))
+        .drop("__keeper")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
+    """K minhashes: min over shingles of md5(k|shingle).  md5 keeps the
+    signature reproducible in any engine (vs engine-local xxhash)."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    verify_threshold_pct: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle → K minhashes → bands of ``band_size`` → explode to
+    (band_key, id) → self-join per band → distinct candidate pairs →
+    exact Jaccard ≥ threshold.  Returns (a, b, jaccard_pct), a < b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = sh.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("id", "sh", F.explode(bands).alias("band"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on="band")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sa"),
+            F.col("r.sh").alias("sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("jaccard_pct", jaccard_pct(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard_pct") >= verify_threshold_pct)
+        .select("a", "b", "jaccard_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit simhash over distinct whitespace tokens.
+
+    Bit b is set when the majority of token md5s have hex digit b in
+    [8-f] (i.e. that digit's high bit set).  md5-derived so the identical
+    integer is computable in SQL; 16 bits keeps the oracle tractable while
+    the construction generalizes to 64.
+    """
+    toks = F.array_distinct(F.split(normalize(text), " "))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    total = F.size(hashes)
+    bit_cols = []
+    for b in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.substring(h, b + 1, 1).isin(*"89abcdef"))
+        )
+        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs within a Hamming ball of the 16-bit simhash.
+
+    Blocking: two 8-bit halves — pairs within hamming ≤ max_hamming < 8+1
+    share at least one identical half (pigeonhole), so a half-key join
+    finds all of them without O(n²).
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sh"))
+    halves = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lo:"), (F.col("sh") % 256).cast("string")),
+                F.concat(F.lit("hi:"), (F.col("sh") / 256).cast("long").cast("string")),
+            )
+        ).alias("half"),
+    )
+    cand = (
+        halves.alias("l")
+        .join(halves.alias("r"), on="half")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sa"), F.col("r.sh").alias("sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

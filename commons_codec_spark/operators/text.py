@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path computation is built-in column expressions (JVM, codegen):
+tokenization via split/regexp, quality ratios as integer/floor math,
+language ID as stopword-hit argmax, fingerprints via md5 and a
+winnowing-style rolling hash.  Designed so a DuckDB oracle can state the
+same computation exactly (no floats except through deterministic FLOOR).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Tiny stopword inventories for the lang-id heuristic (top function words).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"],
+}
+
+
+def normalize(text: Column) -> Column:
+    """lower + collapse whitespace — the canonical form for fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalize(text), " ")
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def alpha_ratio_pct(text: Column) -> Column:
+    """floor(100 * alphabetic chars / chars)."""
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.floor(alpha * 100.0 / F.greatest(F.length(text), F.lit(1))).cast("long")
+
+
+def punct_ratio_pct(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    return F.floor(punct * 100.0 / F.greatest(F.length(text), F.lit(1))).cast("long")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(words, t)))
+
+
+def stopword_ratio_pct(text: Column, lang: str = "en") -> Column:
+    return F.floor(
+        stopword_hits(text, lang) * 100.0 / F.greatest(ws_token_count(text), F.lit(1))
+    ).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-100 quality heuristic: long enough, alphabetic, has
+    stopwords, not punctuation-heavy.  Integer math throughout."""
+    length_component = F.least(F.length(text), F.lit(500)) * 100 / 500
+    return F.floor(
+        0.3 * length_component
+        + 0.3 * alpha_ratio_pct(text)
+        + 0.3 * F.least(stopword_ratio_pct(text) * 4, F.lit(100))
+        + 0.1 * (100 - F.least(punct_ratio_pct(text) * 5, F.lit(100)))
+    ).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit argmax over LANG_STOPWORDS; 'und' (undetermined) when
+    no language scores a hit.  Ties resolve in dict order (en first)."""
+    toks = tokens(text)
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
+        )
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = None
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    # build argmax right-to-left so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs[: langs.index(lang)]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[langs.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = expr
+    return best
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(text))
+
+
+def rolling_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint set (Schleimer et al., SIGMOD'03).
+
+    Hash every k-gram of the normalized character stream (md5-based for
+    engine-portability), then keep the minimum hash of every `window`
+    consecutive k-grams; distinct-sorted result identifies near-identical
+    passages.  Pure higher-order column functions — no UDF.
+    """
+    norm = normalize(text)
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(k)))
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

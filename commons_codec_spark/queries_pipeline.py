@@ -1,0 +1,309 @@
+"""Training-data-pipeline queries over documents/embeddings, oracle-paired.
+
+Near-dup queries inject deterministic perturbed copies *in the query* (the
+synthetic corpus has no natural duplicates), so both engines derive the
+same augmented corpus and the dedup operators have real work to do.
+
+Everything hashes exactly: md5-based signatures, integer quantization for
+cosine, FLOOR for ratios — see operators/{dedup,similarity,text}.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from commons_codec_spark.operators import dedup, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies (id%50==0, +1M) + near copies (id%25==0, +2M,
+    one appended token)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzznearmarker")).alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+_SQL_AUGMENTED = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' zzznearmarker' AS text
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.exact_dedup_flags(aug, "doc_id", "text").select(
+        "doc_id", "content_md5", "is_dup"
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT doc_id,
+       md5({_SQL_NORM}) AS content_md5,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM})) AS is_dup
+FROM ({_SQL_AUGMENTED})
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(
+        aug, "doc_id", "text", num_hashes=8, band_size=2, verify_threshold_pct=50
+    )
+
+
+def _sql_shingles(norm: str) -> str:
+    toks = f"string_split({norm}, ' ')"
+    return (
+        f"list_sort(list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])))"
+    )
+
+
+def _sql_minhash(k: int) -> str:
+    return (
+        f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min')"
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH docs AS (
+    SELECT doc_id, {_sql_shingles(_SQL_NORM)} AS sh
+    FROM ({_SQL_AUGMENTED})
+    WHERE len(string_split({_SQL_NORM}, ' ')) >= 3
+),
+sigs AS (
+    SELECT doc_id, sh,
+           {", ".join(f"{_sql_minhash(k)} AS mh{k}" for k in range(8))}
+    FROM docs
+),
+banded AS (
+    SELECT doc_id, sh, unnest([
+        md5('0|' || mh0 || '|' || mh1),
+        md5('1|' || mh2 || '|' || mh3),
+        md5('2|' || mh4 || '|' || mh5),
+        md5('3|' || mh6 || '|' || mh7)
+    ]) AS band
+    FROM sigs
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sa, r.sh AS sb
+    FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+)
+SELECT a, b,
+       CAST(FLOOR(len(list_intersect(sa, sb)) * 100.0 /
+            greatest(len(list_distinct(sa || sb)), 1)) AS BIGINT) AS jaccard_pct
+FROM cand
+WHERE FLOOR(len(list_intersect(sa, sb)) * 100.0 /
+      greatest(len(list_distinct(sa || sb)), 1)) >= 50
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for the deterministic (orig, near-copy)
+    candidate pairing — the verification kernel in isolation."""
+    aug = _augmented_docs(spark, sf_dir)
+    sh = aug.select(
+        "doc_id", dedup.word_shingles(F.col("text")).alias("sh")
+    )
+    orig = sh.filter(F.col("doc_id") % 25 == 0).filter(F.col("doc_id") < 1_000_000)
+    near = sh.filter(F.col("doc_id") >= 2_000_000).select(
+        (F.col("doc_id") - 2_000_000).alias("doc_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        orig.join(near, on="doc_id")
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 2_000_000).alias("b"),
+            dedup.jaccard_pct(F.col("sh"), F.col("sh_b")).alias("jaccard_pct"),
+        )
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH aug AS ({_SQL_AUGMENTED}),
+sh AS (SELECT doc_id, {_sql_shingles(_SQL_NORM)} AS sh FROM aug)
+SELECT o.doc_id AS a, n.doc_id AS b,
+       CAST(FLOOR(len(list_intersect(o.sh, n.sh)) * 100.0 /
+            greatest(len(list_distinct(o.sh || n.sh)), 1)) AS BIGINT) AS jaccard_pct
+FROM sh o JOIN sh n ON n.doc_id = o.doc_id + 2000000
+WHERE o.doc_id % 25 = 0 AND o.doc_id < 1000000
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit simhash (the oracle-checkable core of simhash dedup)."""
+    aug = _augmented_docs(spark, sf_dir)
+    return aug.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    toks = f"list_distinct(string_split({_SQL_NORM}, ' '))"
+    bits = []
+    for b in range(16):
+        ones = (
+            f"len(list_filter({toks}, t -> substr(md5(t), {b + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f')))"
+        )
+        bits.append(f"CASE WHEN {ones} * 2 > len({toks}) THEN {1 << b} ELSE 0 END")
+    return " + ".join(bits)
+
+
+SQL_DEDUP_SIMHASH = f"""
+SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash
+FROM ({_SQL_AUGMENTED})
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    probes = embs.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(embs, probes, k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qv,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS n2
+    FROM q
+),
+pairs AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           list_aggregate(list_transform(range(1, 65), i -> p.qv[i] * c.qv[i]), 'sum') AS dot,
+           p.n2 AS p2, c.n2 AS n2
+    FROM n p JOIN n c ON p.vec_id % 100 = 0 AND p.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT probe_id, neighbor_id,
+           CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                FLOOR(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 10000.0 /
+                      greatest(CAST(p2 AS DOUBLE) * CAST(n2 AS DOUBLE), 1.0)) AS BIGINT) AS cos2_bp
+    FROM pairs
+)
+SELECT probe_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos2_bp DESC, neighbor_id ASC) AS INT) AS rank,
+       cos2_bp
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.ws_token_count(t).cast("long").alias("ws_tokens"),
+        text.bpe_ish_token_count(t).cast("long").alias("bpe_tokens"),
+        text.alpha_ratio_pct(t).alias("alpha_pct"),
+        text.stopword_ratio_pct(t).alias("stopword_pct"),
+        text.quality_score(t).alias("quality"),
+        text.md5_fingerprint(t).alias("fingerprint"),
+    )
+
+
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_EN = "['the','and','of','to','a','in','is','it','that','for']"
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(FLOOR(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100.0 /
+            greatest(len(text), 1)) AS BIGINT) AS alpha_pct,
+       CAST(FLOOR(len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_EN}, t))) * 100.0 /
+            greatest(len({_SQL_TOKS}), 1)) AS BIGINT) AS stopword_pct,
+       CAST(FLOOR(
+            0.3 * (least(len(text), 500) * 100 / 500)
+          + 0.3 * FLOOR(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100.0 / greatest(len(text), 1))
+          + 0.3 * least(FLOOR(len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_EN}, t))) * 100.0 /
+                        greatest(len({_SQL_TOKS}), 1)) * 4, 100)
+          + 0.1 * (100 - least(FLOOR(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 100.0 /
+                        greatest(len(text), 1)) * 5, 100))
+       ) AS BIGINT) AS quality,
+       md5({_SQL_NORM}) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def _sql_lang_score(lang_words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
+    return f"len(list_filter({_SQL_TOKS}, t -> list_contains({arr}, t)))"
+
+
+def _sql_lang_id() -> str:
+    from commons_codec_spark.operators.text import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    scores = {lg: _sql_lang_score(ws) for lg, ws in LANG_STOPWORDS.items()}
+    whens = []
+    for lg in langs:
+        conds = [f"{scores[lg]} > 0"]
+        for other in langs[: langs.index(lg)]:
+            conds.append(f"{scores[lg]} > {scores[other]}")
+        for other in langs[langs.index(lg) + 1 :]:
+            conds.append(f"{scores[lg]} >= {scores[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, {_sql_lang_id()} AS lang_guess FROM documents
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_lang_id": (q_lang_id, SQL_LANG_ID),
+}

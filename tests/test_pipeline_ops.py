@@ -1,0 +1,161 @@
+"""Dedup / similarity / text / multimodal operator tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from commons_codec_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines and data"),
+        (5, "der hund und die katze sind nicht zu haus"),  # German
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.is_dup for r in dedup.exact_dedup_flags(docs, "doc_id", "text").collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: False, 6: False}
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    sh = df.select(dedup.word_shingles(F.col("t")).alias("s")).collect()[0].s
+    assert sh == ["a b c", "b c d"]
+    j = spark.range(1).select(
+        dedup.jaccard_pct(
+            F.array(F.lit("x"), F.lit("y"), F.lit("z")), F.array(F.lit("y"), F.lit("z"))
+        ).alias("j")
+    ).collect()[0].j
+    assert j == 66  # floor(2/3 * 100)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", verify_threshold_pct=50)
+    got = {(r.a, r.b): r.jaccard_pct for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 100
+    assert (1, 3) in got and 50 <= got[(1, 3)] < 100
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_simhash_properties(docs):
+    out = {r.doc_id: r.simhash for r in docs.select(
+        "doc_id", dedup.simhash16(F.col("text")).alias("simhash")).collect()}
+    assert out[1] == out[2]  # identical text, identical hash
+    assert 0 <= out[1] < 2**16
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    ham_14 = bin(out[1] ^ out[4]).count("1")
+    assert ham_13 <= ham_14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_blocking(docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 8)).astype("float32")
+    base[7] = base[0] * 1.01 + 0.001  # near-dup of vector 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    probes = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, probes, k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 7 and out[0].rank == 1  # the planted near-dup
+    assert out[0].cos2_bp > 9990
+
+
+def test_lsh_topk_recall(vectors):
+    probes = vectors.filter(F.col("vec_id") % 4 == 0)
+    exact = similarity.brute_force_topk(vectors, probes, k=3)
+    approx = similarity.lsh_topk(vectors, probes, dim=8, k=3, n_bits=2)
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # 2-bit LSH on dim-8 toy data; scale path sanity
+    # the planted near-pair must land in the same bucket (high cosine)
+    assert any(p == 0 and n == 7 for p, n in a)
+
+
+def test_cosine_near_dup_pairs(vectors):
+    pairs = similarity.cosine_near_dup_pairs(vectors, threshold_bp=9900, dim=8, n_bits=2)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 7) in got
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox! It is fast, and it is brown.")], "id long, t string"
+    )
+    row = df.select(
+        text.ws_token_count(F.col("t")).alias("ws"),
+        text.bpe_ish_token_count(F.col("t")).alias("bpe"),
+        text.alpha_ratio_pct(F.col("t")).alias("alpha"),
+        text.lang_id(F.col("t")).alias("lang"),
+        text.md5_fingerprint(F.col("t")).alias("fp"),
+        text.quality_score(F.col("t")).alias("q"),
+    ).collect()[0]
+    assert row.ws == 10
+    assert row.bpe == 13  # 10 words + 3 punctuation marks
+    assert 70 <= row.alpha <= 85
+    assert row.lang == "en"
+    assert len(row.fp) == 32
+    assert 0 <= row.q <= 100
+
+
+def test_lang_id_german(docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[5] == "de" and out[1] == "en" and out[6] == "und"
+
+
+def test_rolling_fingerprints_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "abcdefghijklmnopqrstuvwxyz123"),  # shared prefix
+            (3, "zyxwvutsrqponmlkjihgfedcba"),
+        ],
+        "id long, t string",
+    )
+    fps = {r.id: set(r.fp) for r in df.select(
+        "id", text.rolling_fingerprints(F.col("t")).alias("fp")).collect()}
+    shared_12 = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    shared_13 = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert shared_12 > shared_13
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        (1, b"fake-image-bytes", ("image/png", 4, 4, None, None)),
+        (2, b"fake-video-bytes", ("video/mp4", 16, 9, 3500, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, media binary, media_meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    feats = multimodal.extract_features(df, dim=16).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    again = multimodal.extract_features(df, dim=16).collect()
+    assert [r.features for r in feats] == [r.features for r in again]  # deterministic
+
+    frames = multimodal.sample_frames(df.filter(F.col("id") == 2), every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+    assert all(isinstance(r.frame, (bytes, bytearray)) for r in frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        multimodal.extract_features(df, dim=4, use_fake_decoder=False).collect()
