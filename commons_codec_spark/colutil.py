@@ -1,0 +1,26 @@
+"""Column-expression utilities.
+
+Spark evaluates higher-order-function lambdas without common-subexpression
+elimination: every reference to a non-trivial Column inside a lambda (and
+every repeated reference to an array expression, e.g. multiple slices)
+re-evaluates its whole tree.  ``let`` gives expressions a cheap bound
+name — the array-of-one ``transform`` trick: the value is computed once
+as the single element, and the lambda body sees it as a
+NamedLambdaVariable, which is free to reference any number of times.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Evaluate ``value`` once and pass it to ``body`` as a bound variable.
+
+    ``let(expensive, lambda v: f(v, v, v))`` evaluates ``expensive`` one
+    time per row, vs three times for ``f(e, e, e)``.
+    """
+    return F.transform(F.array(value), body)[0]

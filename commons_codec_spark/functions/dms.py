@@ -64,6 +64,16 @@ def resolve_spark_type(ltype: str) -> str:
     return DMS_TO_SPARK_TYPE.get(ltype, "string")
 
 
+def resolve_type_col(ltype: Column) -> Column:
+    """Column form of :func:`resolve_type` (JVM ``CASE`` chain, no UDF)."""
+    out = None
+    for k, v in DMS_TYPE_MAP.items():
+        out = F.when(ltype == k, F.lit(v)) if out is None else out.when(
+            ltype == k, F.lit(v)
+        )
+    return out.otherwise(F.lit("TEXT"))
+
+
 def route_schema(schema_col: Column, table_col: Column) -> Column:
     """Divert ``awsdms_*`` special tables to the ``dms`` schema."""
     return F.when(table_col.startswith("awsdms_"), F.lit("dms")).otherwise(schema_col)

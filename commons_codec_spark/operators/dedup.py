@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from commons_codec_spark.colutil import let
 from commons_codec_spark.operators.text import normalize
 
 # ---------------------------------------------------------------------------
@@ -31,16 +32,23 @@ from commons_codec_spark.operators.text import normalize
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (sorted for determinism)."""
-    toks = F.split(normalize(text), " ")
-    count = F.size(toks) - (n - 1)
-    grams = F.when(count >= 1, F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_sort(F.array_distinct(grams))
+    """Distinct word n-grams of the normalized text (sorted for determinism).
+
+    The token array is let-bound: naively referencing ``split(normalize(…))``
+    inside the gram lambda would re-run the regex+split per element.
+    """
+
+    def build(toks: Column) -> Column:
+        count = F.size(toks) - (n - 1)
+        grams = F.when(count >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.array_sort(F.array_distinct(grams))
+
+    return let(F.split(normalize(text), " "), build)
 
 
 def jaccard_pct(a: Column, b: Column) -> Column:
@@ -160,18 +168,22 @@ def simhash16(text: Column) -> Column:
     the construction generalizes to 64.
     """
     toks = F.array_distinct(F.split(normalize(text), " "))
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    total = F.size(hashes)
-    bit_cols = []
-    for b in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.substring(h, b + 1, 1).isin(*"89abcdef"))
-        )
-        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out.cast("long")
+
+    def build(hashes: Column) -> Column:
+        total = F.size(hashes)
+        bit_cols = []
+        for b in range(SIMHASH_BITS):
+            ones = F.size(
+                F.filter(hashes, lambda h: F.substring(h, b + 1, 1).isin(*"89abcdef"))
+            )
+            bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)))
+        out = bit_cols[0]
+        for c in bit_cols[1:]:
+            out = out + c
+        return out.cast("long")
+
+    # let-bound: the 16 bit tests + total each reference the hash array
+    return let(F.transform(toks, lambda t: F.md5(t)), build)
 
 
 def simhash_pairs(

@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from commons_codec_spark.colutil import let
+
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation.
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -115,13 +117,30 @@ def rolling_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     consecutive k-grams; distinct-sorted result identifies near-identical
     passages.  Pure higher-order column functions — no UDF.
     """
-    norm = normalize(text)
-    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(0))
-    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(k)))
-    hashes = F.transform(grams, lambda g: F.md5(g))
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
-    return F.array_sort(F.array_distinct(mins))
+    # Both the normalized string and the gram-hash array are let-bound:
+    # HOF lambdas have no common-subexpression elimination, so a naive
+    # transform(sequence(1, n_windows), i -> array_min(slice(hashes, i, w)))
+    # would recompute the full gram+md5 array once per window (quadratic),
+    # and norm.substr inside the gram lambda would re-run the normalize
+    # regex per gram.  The rolling min is `window` shifted slices of the
+    # bound hash array zipped with least().
+    def over_hashes(hashes: Column) -> Column:
+        n_windows = F.size(hashes) - window + 1
+        mins = F.slice(hashes, 1, F.greatest(n_windows, F.lit(1)))
+        for off in range(1, window):
+            shifted = F.slice(hashes, off + 1, F.greatest(n_windows, F.lit(1)))
+            mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+        out = F.array_sort(F.array_distinct(mins))
+        return F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(out)
+
+    def over_norm(norm: Column) -> Column:
+        n_grams = F.length(norm) - k + 1
+        grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        )
+        return let(F.transform(grams, lambda g: F.md5(g)), over_hashes)
+
+    return let(normalize(text), over_norm)

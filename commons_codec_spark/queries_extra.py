@@ -1,0 +1,455 @@
+"""Second wave of driver-contract queries: MongoDB Extended-JSON decode,
+telemetry decoders, LSH-bucketed ANN, embedding near-dup, DMS control
+plane, winnowing fingerprints, multimodal plumbing.
+
+Same design as :mod:`commons_codec_spark.queries`: every query derives its
+input deterministically from the shared testdata parquet so a DuckDB
+oracle can compute the identical result (hash-exact: integers/strings
+only where rounding is representation-sensitive).  The two multimodal
+queries have no SQL oracle (sha256-seeded stand-in features) and get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from commons_codec_spark.functions import dms
+from commons_codec_spark.functions.mongodb import decode_mongo_cdc
+from commons_codec_spark.functions.telemetry import (
+    decode_telemetry,
+    readings_to_columns,
+)
+from commons_codec_spark.operators import multimodal, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# MongoDB change-stream decode (SURVEY.md §2.3 D4–D7, §3 EP3)
+# ---------------------------------------------------------------------------
+#
+# Envelope stream derived from `events`: insert/replace carry a fullDocument
+# exercising $oid, $numberLong (→ string, pymongo Int64 semantics), $date
+# (→ epoch-ms truncated to seconds), $numberInt and $numberDouble; deletes
+# carry only documentKey; every 101st event is a `drop` (decoded to NULL op
+# and filtered — reference `mongodb.py:337-343`).
+
+
+def q_mongo_cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    oid = F.substring(F.md5(F.col("event_id").cast("string")), 1, 24)
+    optype = (
+        F.when(F.col("event_id") % 101 == 0, F.lit("drop"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "click", F.lit("replace"))
+        .otherwise(F.lit("insert"))
+    )
+    full = F.format_string(
+        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}},'
+        '"fullDocument":{"event_id":{"$numberLong":"%d"},"event_type":"%s",'
+        '"ts":{"$date":{"$numberLong":"%d"}},"user_id":{"$numberInt":"%d"},'
+        '"value_cents":{"$numberDouble":"%d"}}}',
+        optype, oid, F.col("event_id"), F.col("event_type"), ms,
+        F.col("user_id"), cents,
+    )
+    keyed = F.format_string(
+        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}}}', optype, oid
+    )
+    env = ev.select(
+        F.when(optype.isin("insert", "replace"), full)
+        .otherwise(keyed)
+        .alias("event")
+    )
+    decoded = decode_mongo_cdc(env, "event").filter(F.col("op").isNotNull())
+    rec = lambda p: F.get_json_object(F.col("record"), p)  # noqa: E731
+    return decoded.select(
+        "op",
+        "oid",
+        rec("$.event_id").cast("long").alias("event_id"),
+        rec("$.event_type").alias("event_type"),
+        rec("$.ts").cast("long").alias("ts_ms"),
+        rec("$.user_id").cast("long").alias("user_id"),
+        rec("$.value_cents").cast("double").cast("long").alias("value_cents"),
+    )
+
+
+SQL_MONGO_CDC = """
+WITH base AS (
+    SELECT event_id, user_id, event_type,
+           epoch_ms(ts) // 1000 * 1000 AS ts_ms,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 24) AS oid,
+           CASE WHEN event_id % 101 = 0 THEN 'drop'
+                WHEN event_type = 'error' THEN 'delete'
+                WHEN event_type = 'click' THEN 'replace'
+                ELSE 'insert' END AS optype
+    FROM events
+)
+SELECT CASE WHEN optype = 'replace' THEN 'update'
+            WHEN optype = 'delete' THEN 'delete'
+            ELSE 'insert' END AS op,
+       oid,
+       CASE WHEN optype <> 'delete' THEN event_id END AS event_id,
+       CASE WHEN optype <> 'delete' THEN event_type END AS event_type,
+       CASE WHEN optype <> 'delete' THEN ts_ms END AS ts_ms,
+       CASE WHEN optype <> 'delete' THEN user_id END AS user_id,
+       CASE WHEN optype <> 'delete' THEN cents END AS value_cents
+FROM base WHERE optype <> 'drop'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Telemetry decoders (SURVEY.md §2.3 D10/D13)
+# ---------------------------------------------------------------------------
+
+
+def q_tts_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTS/TTN uplink decode: payload merge + bw/freq/sf/counter derivation
+    + per-gateway dynamic rssi columns + gtw_count (D13)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"end_device_ids":{"device_id":"dev-%d"},'
+        '"uplink_message":{"decoded_payload":{"reading_cents":%d},'
+        '"settings":{"data_rate":{"lora":{"bandwidth":125000,'
+        '"spreading_factor":7}},"frequency":"868100000"},'
+        '"f_cnt":%d,"rx_metadata":['
+        '{"gateway_ids":{"gateway_id":"gw0"},"rssi":%d,"snr":5},'
+        '{"gateway_ids":{"gateway_id":"gw1"},"rssi":%d,"snr":7}]}}',
+        F.col("user_id"), cents, F.col("event_id") % 65536,
+        -(F.col("user_id") % 60 + 30), -(F.col("user_id") % 60 + 35),
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_telemetry(env, "tts_ttn", "payload")
+    out = readings_to_columns(
+        decoded,
+        {
+            "device_id": "string",
+            "reading_cents": "long",
+            "bw": "double",
+            "sf": "long",
+            "freq": "double",
+            "counter": "long",
+            "gtw_count": "long",
+            "gw_gw0_rssi": "long",
+            "gw_gw1_rssi": "long",
+        },
+    )
+    return out.drop("reading", "error")
+
+
+SQL_TTS_TTN = """
+SELECT event_id,
+       'dev-' || CAST(user_id AS VARCHAR) AS device_id,
+       CAST(round(value * 100) AS BIGINT) AS reading_cents,
+       CAST(125.0 AS DOUBLE) AS bw,
+       CAST(7 AS BIGINT) AS sf,
+       868100000 / 1000000.0 AS freq,
+       CAST(event_id % 65536 AS BIGINT) AS counter,
+       CAST(2 AS BIGINT) AS gtw_count,
+       CAST(-(user_id % 60 + 30) AS BIGINT) AS gw_gw0_rssi,
+       CAST(-(user_id % 60 + 35) AS BIGINT) AS gw_gw1_rssi
+FROM events
+"""
+
+
+def q_tasmota_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tasmota sensor flatten: dotted-path keys, Type/Address stripping from
+    typed subtrees (D10)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"Time":"%s","ANALOG":{"Temperature1":%d},'
+        '"SML":{"m0":{"Type":"counter","Address":"0x1","Total_in":%d}},'
+        '"TempUnit":"C"}',
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("user_id") % 40, cents,
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_telemetry(env, "tasmota_sensor", "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        F.translate(r["Time"], '"', "").alias("time_s"),
+        r["ANALOG.Temperature1"].cast("long").alias("analog_temp"),
+        r["SML.m0.Total_in"].cast("long").alias("sml_total"),
+    )
+
+
+SQL_TASMOTA = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
+       CAST(user_id % 40 AS BIGINT) AS analog_temp,
+       CAST(round(value * 100) AS BIGINT) AS sml_total
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN + embedding near-dup (scale paths for similarity search)
+# ---------------------------------------------------------------------------
+#
+# The random-hyperplane signs are md5-derived constants (operators/
+# similarity.py:96-113); the oracle bakes the identical signs in as SQL
+# literals computed here with hashlib.
+
+
+def _sql_signs(h: int, dim: int = 64) -> str:
+    signs = [
+        1 if hashlib.md5(f"{h}:{j}".encode()).hexdigest()[0] in "89abcdef" else -1
+        for j in range(dim)
+    ]
+    return "[" + ",".join(str(s) for s in signs) + "]"
+
+
+def _sql_bucket(n_bits: int, dim: int = 64) -> str:
+    terms = []
+    for h in range(n_bits):
+        proj = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> qv[i] * ({_sql_signs(h, dim)})[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    probes = embs.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(embs, probes, dim=64, k=5, n_bits=6)
+
+
+SQL_LSH_TOPK = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, qv,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS n2,
+           {_sql_bucket(6)} AS bucket
+    FROM q
+),
+pairs AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           list_aggregate(list_transform(range(1, 65),
+               i -> p.qv[i] * c.qv[i]), 'sum') AS dot,
+           p.n2 AS p2, c.n2 AS n2
+    FROM n p JOIN n c ON p.bucket = c.bucket
+    WHERE p.vec_id % 100 = 0 AND p.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT probe_id, neighbor_id,
+           CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                FLOOR(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 10000.0 /
+                      greatest(CAST(p2 AS DOUBLE) * CAST(n2 AS DOUBLE), 1.0))
+                AS BIGINT) AS cos2_bp
+    FROM pairs
+)
+SELECT probe_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos2_bp DESC, neighbor_id ASC) AS INT) AS rank,
+       cos2_bp
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double) + near-copies (id%20==0, +1M, scaled ×1.02 —
+    cosine ≈ 1 modulo quantization)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", as_double.alias("embedding"))
+    near = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * 1.02
+        ).alias("embedding"),
+    )
+    return base.unionAll(near)
+
+
+_SQL_AUG_EMB = """
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.02) AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_embeddings(spark, sf_dir)
+    return similarity.cosine_near_dup_pairs(
+        aug, threshold_bp=9000, n_bits=4, dim=64
+    )
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+    FROM ({_SQL_AUG_EMB})
+),
+n AS (
+    SELECT vec_id, qv,
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS n2,
+           {_sql_bucket(4)} AS bucket
+    FROM q
+),
+cand AS (
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           list_aggregate(list_transform(range(1, 65),
+               i -> l.qv[i] * r.qv[i]), 'sum') AS dot,
+           l.n2 AS na, r.n2 AS nb
+    FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+scored AS (
+    SELECT a, b,
+           CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                FLOOR(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 10000.0 /
+                      greatest(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 1.0))
+                AS BIGINT) AS cos2_bp
+    FROM cand
+)
+SELECT a, b, cos2_bp FROM scored WHERE cos2_bp >= 9000
+"""
+
+
+# ---------------------------------------------------------------------------
+# DMS control plane: op normalization, awsdms_* routing, type resolution
+# (SURVEY.md §2.2 P3/P5, §2.3 D9, §2.4 E9)
+# ---------------------------------------------------------------------------
+
+_DMS_OPS = ["load", "insert", "update", "delete", "create-table", "drop-table", "bogus"]
+_DMS_TYPES = ["INT8", "INT16", "INT32", "INT64", "STRING", "NUMERIC", "CLOB"]
+
+
+def q_dms_control_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("long")
+    idx = (k % 7 + 1).cast("int")
+    table = (
+        F.when(k % 5 == 0, F.lit("awsdms_apply_exceptions"))
+        .otherwise(F.concat(F.lit("t_"), k))
+    )
+    env = s.select(
+        k.alias("suppkey"),
+        F.element_at(F.array(*[F.lit(o) for o in _DMS_OPS]), idx).alias("operation"),
+        F.lit("crm").alias("schema_name"),
+        table.alias("table_name"),
+        F.element_at(F.array(*[F.lit(t) for t in _DMS_TYPES]), idx).alias("dms_type"),
+    )
+    return env.select(
+        "suppkey",
+        "table_name",
+        dms.route_schema(F.col("schema_name"), F.col("table_name")).alias("schema_routed"),
+        dms.normalize_op(F.col("operation")).alias("op_norm"),
+        dms.resolve_type_col(F.col("dms_type")).alias("sink_type"),
+    )
+
+
+SQL_DMS_CONTROL = """
+WITH base AS (
+    SELECT s_suppkey AS suppkey,
+           CASE WHEN s_suppkey % 5 = 0 THEN 'awsdms_apply_exceptions'
+                ELSE 't_' || CAST(s_suppkey AS VARCHAR) END AS table_name,
+           s_suppkey % 7 AS i
+    FROM supplier
+)
+SELECT suppkey,
+       table_name,
+       CASE WHEN table_name LIKE 'awsdms_%' THEN 'dms' ELSE 'crm' END AS schema_routed,
+       CASE i WHEN 0 THEN 'insert' WHEN 1 THEN 'insert' WHEN 2 THEN 'update'
+              WHEN 3 THEN 'delete' WHEN 4 THEN 'control' WHEN 5 THEN 'control'
+              ELSE NULL END AS op_norm,
+       CASE i WHEN 0 THEN 'INT1' WHEN 1 THEN 'INT2' WHEN 2 THEN 'INT4'
+              WHEN 3 THEN 'INT8' ELSE 'TEXT' END AS sink_type
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (training-pipeline text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.rolling_fingerprints(F.col("text"), k=5, window=4).alias("fingerprints"),
+    )
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+SQL_ROLLING_FP = f"""
+WITH g AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+h AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 4 < 1 THEN []
+                ELSE list_transform(range(1, len(t) - 4 + 1),
+                                    i -> md5(substr(t, i, 5))) END AS hs
+    FROM g
+)
+SELECT doc_id,
+       list_sort(list_distinct(
+           CASE WHEN len(hs) - 3 < 1 THEN []
+                ELSE list_transform(range(1, len(hs) - 3 + 1),
+                                    i -> list_aggregate(hs[i:i+3], 'min')) END
+       )) AS fingerprints
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; schema/partitioning/batching real).
+# No SQL oracle — sha256-seeded stand-in features; rows-only driver check.
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return multimodal.extract_features(media, dim=8, media_col="media")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("media"),
+        F.create_map(
+            F.lit("duration_ms"), (F.col("n_chars") % 5 + 1) * 1000
+        ).alias("media_meta"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return frames.select("doc_id", "frame_ts_ms", F.hex(F.col("frame")).alias("frame_hex"))
+
+
+EXTRA_QUERIES = {
+    "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
+    "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
+    "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
+    "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
+    "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),
+    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_frame_sample": (q_multimodal_frames, None),
+}
