@@ -120,6 +120,13 @@ class KeyedLakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), self.n_buckets)
 
+    def bucket_of(self, *cols) -> "F.Column":
+        """Bucket id for explicit key Columns (same hash as `_bucket_expr`)."""
+        return F.pmod(F.xxhash64(*cols), self.n_buckets)
+
+    def key_ddl(self) -> str:
+        return ", ".join(f"`{k}` {t}" for k, t in self.key_schema.items())
+
     def _full_schema(self, payload_schema: dict[str, str]) -> str:
         cols = {**self.key_schema, **payload_schema, SEQ_COL: "long"}
         return ", ".join(f"`{c}` {t}" for c, t in cols.items())
@@ -148,11 +155,19 @@ class KeyedLakeTable:
 
     # ------------------------------------------------------------------ merge
 
-    def merge(self, net: DataFrame, batch_id=None) -> dict:
+    def merge(self, net: DataFrame, batch_id=None, touched: list[int] | None = None) -> dict:
         """Apply per-key net changes; returns merge metrics.
 
         ``net`` columns: keys + aa/arow/aseq/pa/prow/pseq (see cdc_fold).
         New payload columns inside arow/prow widen the table schema.
+
+        ``touched``: bucket ids the batch may modify.  When the caller can
+        compute it cheaply upstream (the pipeline derives it from a keys-only
+        decode of the raw envelopes), ``net`` stays **lazy** and the whole
+        decode→fold→join→write chain runs as one job — no materialization of
+        the folded batch.  A superset is safe (extra buckets are rewritten
+        byte-identical); when omitted, ``net`` is materialized here to avoid
+        computing the fold twice.
         """
         commit = self._current_commit()
         if batch_id is not None and batch_id in commit["applied_batch_ids"]:
@@ -168,12 +183,17 @@ class KeyedLakeTable:
             payload_schema.setdefault(c, t)
 
         # --- prune to touched buckets
-        # localCheckpoint (not cache): the fold's aggregate expression tree is
-        # large, and every downstream action would re-run Catalyst analysis
-        # over it; truncating lineage makes the join/write plan tiny.  Safe
-        # inside a micro-batch — on failure the whole batch replays.
-        net = net.withColumn(BUCKET_COL, self._bucket_expr()).localCheckpoint()
-        touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
+        net = net.withColumn(BUCKET_COL, self._bucket_expr())
+        materialized = False
+        if touched is None:
+            net = net.localCheckpoint()
+            materialized = True
+            touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
+        else:
+            touched = sorted(set(int(b) for b in touched))
+            # the caller promised a superset; enforce it so a wrong hint
+            # can't orphan net rows in un-tracked bucket dirs
+            net = net.filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
         current = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
 
         # --- merge join on keys (bucket-local; AQE handles skew split)
@@ -237,7 +257,8 @@ class KeyedLakeTable:
             [batch_id] if batch_id is not None else []
         )
         self._write_commit(version, batch_id, buckets, applied, payload_schema)
-        net.unpersist()
+        if materialized:
+            net.unpersist()
         return {
             "batch_id": batch_id,
             "version": version,

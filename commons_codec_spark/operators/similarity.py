@@ -93,18 +93,21 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
+def hyperplane_signs(h: int, dim: int) -> list[int]:
+    """Deterministic pseudo-hyperplane h: component j has sign ±1 from
+    md5(h:j).  Computed driver-side (pure constants — evaluating the md5s
+    as column expressions per row costs ~1 ms/row interpreted); the same
+    derivation is reproducible in any engine for the SQL oracle."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{h}:{j}".encode()).hexdigest()[0] in "89abcdef" else -1
+        for j in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec: Column, h: int, dim: int) -> Column:
-    """Deterministic pseudo-hyperplane: component j has sign ±1 from
-    md5(h:j); the hash of the projection's sign is one LSH bit."""
-    signs = F.array(
-        *[
-            F.when(
-                F.substring(F.md5(F.lit(f"{h}:{j}")), 1, 1).isin(*"89abcdef"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-            for j in range(dim)
-        ]
-    )
+    signs = F.array(*[F.lit(s) for s in hyperplane_signs(h, dim)])
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x * s),
         F.lit(0).cast("long"),
@@ -136,18 +139,26 @@ def lsh_topk(
     the shuffle key so the join co-locates.  Multi-probe (flipping one
     bit) could raise recall; tests measure recall vs brute force.
     """
+    # Materialize the quantized vectors first (eager): Spark's optimizer
+    # collapses projections even when the projected expression is referenced
+    # many times, so without a hard barrier the quantize transform would be
+    # re-evaluated once per hyperplane per row (measured 10x slowdown).
+    # This is also the honest scale design — at 10^9 vectors the quantized+
+    # bucketed index is a persisted table built once, not a per-query expr.
     q = quantize(F.col(vec_col))
-    corpus = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        q.alias("qv"),
-        int_norm2(q).alias("n2"),
-        lsh_bucket(q, dim, n_bits).alias("bucket"),
+    cbase = vectors.select(F.col(id_col).alias("neighbor_id"), q.alias("qv")).localCheckpoint()
+    pbase = probes.select(F.col(id_col).alias("probe_id"), q.alias("pv")).localCheckpoint()
+    corpus = cbase.select(
+        "neighbor_id",
+        "qv",
+        int_norm2(F.col("qv")).alias("n2"),
+        lsh_bucket(F.col("qv"), dim, n_bits).alias("bucket"),
     )
-    probe = probes.select(
-        F.col(id_col).alias("probe_id"),
-        q.alias("pv"),
-        int_norm2(q).alias("p2"),
-        lsh_bucket(q, dim, n_bits).alias("bucket"),
+    probe = pbase.select(
+        "probe_id",
+        "pv",
+        int_norm2(F.col("pv")).alias("p2"),
+        lsh_bucket(F.col("pv"), dim, n_bits).alias("bucket"),
     )
     pairs = corpus.join(F.broadcast(probe), on="bucket").filter(
         F.col("probe_id") != F.col("neighbor_id")
@@ -179,12 +190,14 @@ def cosine_near_dup_pairs(
     Pairs sharing an LSH bucket whose cos² ≥ threshold (basis points) and
     dot > 0.  Mirrors the minhash-LSH shape: block → verify exactly.
     """
+    # eager quantize barrier — see lsh_topk for why
     q = quantize(F.col(vec_col))
-    side = vectors.select(
-        F.col(id_col).alias("id"),
-        q.alias("qv"),
-        int_norm2(q).alias("n2"),
-        lsh_bucket(q, dim, n_bits).alias("bucket"),
+    base = vectors.select(F.col(id_col).alias("id"), q.alias("qv")).localCheckpoint()
+    side = base.select(
+        "id",
+        "qv",
+        int_norm2(F.col("qv")).alias("n2"),
+        lsh_bucket(F.col("qv"), dim, n_bits).alias("bucket"),
     )
     cand = (
         side.alias("l")

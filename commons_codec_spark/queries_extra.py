@@ -193,6 +193,37 @@ FROM events
 """
 
 
+def q_sensor_community_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor.Community decode: sensordatavalues[] explode + numeric
+    coercion + integer whitelist + non-numeric passthrough (D12)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"sensordatavalues":[{"value_type":"P1","value":"%d"},'
+        '{"value_type":"samples","value":"%d"},'
+        '{"value_type":"note","value":"x%d"}]}',
+        cents, F.col("user_id") % 50, F.col("user_id"),
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_telemetry(env, "sensor_community", "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        r["P1"].cast("double").cast("long").alias("p1"),
+        r["samples"].cast("long").alias("samples"),
+        F.translate(r["note"], '"', "").alias("note"),
+    )
+
+
+SQL_SENSOR_COMMUNITY = """
+SELECT event_id,
+       CAST(round(value * 100) AS BIGINT) AS p1,
+       CAST(user_id % 50 AS BIGINT) AS samples,
+       'x' || CAST(user_id AS VARCHAR) AS note
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN + embedding near-dup (scale paths for similarity search)
 # ---------------------------------------------------------------------------
@@ -446,6 +477,7 @@ EXTRA_QUERIES = {
     "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
+    "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),

@@ -26,6 +26,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
+from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -46,6 +47,18 @@ class PipelineConfig:
     salt_chunks: int | None = None  # skew salting for the fold
     discover_columns: bool = True  # additive schema evolution from images
     dlq_dir: str | None = None
+    #: Pluggable record-rewrite stage between decode and fold — the analog
+    #: of the reference's Tikray ``transformation`` hook
+    #: (``/root/reference/src/commons_codec/transform/mongodb.py:48,56-59,189-200``).
+    #: Receives the decoded batch DataFrame, returns a DataFrame with the
+    #: same key/seq/op columns (payload columns may be rewritten).  Use
+    #: built-in column expressions or a pandas UDF / mapInPandas stage.
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    #: Apply create-table / drop-table control events in arrival order
+    #: (reference EP1 step 3/4: ``aws_dms.py:133-144,146-166,172-178``).
+    #: Costs one extra (tiny) job per batch, so off unless the stream
+    #: actually carries DDL.
+    handle_control: bool = False
 
 
 class CDCPipeline:
@@ -114,11 +127,62 @@ class CDCPipeline:
 
     # ------------------------------------------------------------ one batch
 
+    # --------------------------------------------------------------- control
+
+    _CONTROL_OPS = ("create-table", "drop-table")
+
+    def _apply_control(self, row) -> None:
+        """One DDL control event against the registry + lake (E6/E7)."""
+        schema = row["schema_name"] if "schema_name" in row.__fields__ else self.cfg.schema_name
+        table = row["table_name"] if "table_name" in row.__fields__ else self.cfg.table_name
+        if row["op"] == "create-table":
+            table_def = None
+            if "control_json" in row.__fields__ and row["control_json"]:
+                table_def = json.loads(row["control_json"]).get("table-def")
+            self.registry.apply_create_table(schema, table, table_def)
+        else:  # drop-table: empty the lake snapshot, reset cached schema
+            self.registry.apply_drop_table(schema, table)
+            self.table.drop_data()
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> dict:
         t0 = time.time()
         if batch_id in self.table.applied_batch_ids():
             return {"batch_id": batch_id, "skipped": True}
 
+        if self.cfg.handle_control:
+            ctrl = sorted(
+                batch.filter(F.col("op").isin(*self._CONTROL_OPS)).collect(),
+                key=lambda r: r[self.cfg.seq_col],
+            )
+            if ctrl:
+                # Arrival-order semantics: fold+merge each data sub-range
+                # between control events, applying the DDL at its position.
+                # Re-running after a crash converges (segment merges are
+                # idempotent under the ordering guard; DDL is idempotent).
+                data = batch.filter(~F.col("op").isin(*self._CONTROL_OPS))
+                seq = F.col(self.cfg.seq_col)
+                lo = None
+                out: dict = {"batch_id": batch_id, "segments": len(ctrl) + 1}
+                for i, c in enumerate(ctrl):
+                    hi = c[self.cfg.seq_col]
+                    seg = data.filter(seq < hi if lo is None else (seq >= lo) & (seq < hi))
+                    self._apply_data_batch(seg, batch_id=None)
+                    self._apply_control(c)
+                    lo = hi
+                tail = data.filter(seq >= lo)
+                out.update(self._apply_data_batch(tail, batch_id=batch_id))
+                out["wall_sec"] = round(time.time() - t0, 3)
+                self.metrics.append(out)
+                self._emit_metrics(out)
+                return out
+
+        m = self._apply_data_batch(batch, batch_id)
+        m["wall_sec"] = round(time.time() - t0, 3)
+        self.metrics.append(m)
+        self._emit_metrics(m)
+        return m
+
+    def _apply_data_batch(self, batch: DataFrame, batch_id) -> dict:
         self._discover_columns(batch)
 
         # decode (JVM): image JSON -> typed columns; deletes decode keys_json
@@ -134,13 +198,18 @@ class CDCPipeline:
         for k in self.cfg.keys:
             cond = F.col(k).isNotNull()
             key_ok = cond if key_ok is None else (key_ok & cond)
-        obs = Observation(f"dlq-{batch_id}")
+        self._obs_n = getattr(self, "_obs_n", 0) + 1
+        obs = Observation(f"dlq-{batch_id}-{self._obs_n}")
+        # count(), not sum(): over an empty batch sum() yields a NULL metric
+        # row that PythonSQLUtils.toPyRow refuses to convert
         decoded = decoded.observe(
-            obs, F.sum(F.when(~key_ok, 1).otherwise(0)).alias("dlq_rows")
+            obs, F.count(F.when(~key_ok, F.lit(1))).alias("dlq_rows")
         )
         if self.cfg.dlq_dir:
             decoded.filter(~key_ok).write.mode("append").parquet(self.cfg.dlq_dir)
         good = decoded.filter(key_ok)
+        if self.cfg.transform is not None:
+            good = self.cfg.transform(good)
 
         payload_cols = [c for c in self._image_columns if c not in self.cfg.keys]
         net = fold_net_changes(
@@ -150,21 +219,23 @@ class CDCPipeline:
             seq_col=self.cfg.seq_col,
             salt_chunks=self.cfg.salt_chunks,
         )
+        # merge materializes the fold (compact columnar) before joining:
+        # measured faster than a fully-lazy single-job merge, whose
+        # sort-merge join re-sorts the whole uncompacted decode stream.
         merge_metrics = self.table.merge(net, batch_id=batch_id)
-        dlq_count = int(obs.get.get("dlq_rows") or 0)
+        try:
+            dlq_count = int(obs.get.get("dlq_rows") or 0)
+        except Exception:  # noqa: BLE001 — observation row absent (empty plan)
+            dlq_count = 0
 
-        if self.checkpoint_dir:
+        if self.checkpoint_dir and batch_id is not None:
             self.registry.save(self.checkpoint_dir, batch_id)
 
-        m = {
+        return {
             "batch_id": batch_id,
-            "wall_sec": round(time.time() - t0, 3),
             "dlq_rows": dlq_count,
             **merge_metrics,
         }
-        self.metrics.append(m)
-        self._emit_metrics(m)
-        return m
 
     def _emit_metrics(self, m: dict) -> None:
         if self.checkpoint_dir:

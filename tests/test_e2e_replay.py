@@ -136,6 +136,76 @@ def test_schema_evolution_lang_column(spark, tmp_path, small_log, oracle_state):
     assert None in langs or len(langs) > 1
 
 
+def test_transform_hook_rewrites_payload(spark, tmp_path, small_log, oracle_state):
+    """Tikray-hook analog (`mongodb.py:56-59`): pluggable rewrite stage
+    between decode and fold, here a plain column expression."""
+    table = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(
+        keys=KEYS,
+        image_columns=SOURCE_CODE_COLUMNS,
+        transform=lambda df: df.withColumn("content", F.upper(F.col("content"))),
+    )
+    pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    pipe.run_replay(small_log)
+    engine = _engine_rows(table)
+    expect = []
+    for (repo, path), row in oracle_state.items():
+        row = dict(row)
+        row.setdefault("repo", repo), row.setdefault("path", path)
+        if row.get("content") is not None:
+            row["content"] = row["content"].upper()
+        expect.append(row)
+    assert state_hash(engine, COLUMNS) == state_hash(expect, COLUMNS)
+
+
+def test_control_events_create_and_drop(spark, tmp_path):
+    """E6/E7: create-table learns PKs; drop-table empties the lake snapshot
+    and resets the schema cache; all applied in arrival order
+    (`aws_dms.py:133-144,172-178`, `test_aws_dms_universal.py:262-271`)."""
+    table = _fresh_table(spark, tmp_path, n_buckets=2)
+    cfg = PipelineConfig(
+        keys=KEYS, image_columns=SOURCE_CODE_COLUMNS, handle_control=True,
+        discover_columns=False,
+    )
+    pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    def img(repo, path, commit):
+        return (
+            f'{{"repo":{{"S":"{repo}"}},"path":{{"S":"{path}"}},'
+            f'"commit":{{"S":"{commit}"}}}}'
+        )
+
+    rows = [
+        # create (learn pk) -> 2 inserts -> drop (reset) -> create -> insert
+        ("create-table", "public", "source_code", None, None, 0,
+         '{"table-def": {"primary-key": ["repo", "path"]}}'),
+        ("insert", "public", "source_code", '{"repo":{"S":"r1"},"path":{"S":"a"}}',
+         img("r1", "a", "c1"), 1, None),
+        ("insert", "public", "source_code", '{"repo":{"S":"r2"},"path":{"S":"b"}}',
+         img("r2", "b", "c2"), 2, None),
+        ("drop-table", "public", "source_code", None, None, 3, None),
+        ("create-table", "public", "source_code", None, None, 4,
+         '{"table-def": {"primary-key": ["repo"]}}'),
+        ("insert", "public", "source_code", '{"repo":{"S":"r3"},"path":{"S":"c"}}',
+         img("r3", "c", "c3"), 5, None),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "op string, schema_name string, table_name string, keys_json string, "
+        "image string, commit_seq long, control_json string",
+    )
+    m = pipe.apply_batch(batch, batch_id=0)
+    assert m["segments"] == 4
+    # only the post-drop insert survives
+    final = [(r.repo, r.path, r.commit) for r in table.read().collect()]
+    assert final == [("r3", "c", "c3")]
+    # drop reset the learned ["repo","path"]; the second create re-learned
+    assert pipe.registry.primary_keys("public", "source_code") == ["repo"]
+    # re-delivery of the whole batch is a no-op
+    again = pipe.apply_batch(batch, batch_id=0)
+    assert again.get("skipped")
+
+
 def test_ordering_guard_rejects_stale_cross_batch_update(spark, tmp_path):
     table = _fresh_table(spark, tmp_path, n_buckets=2)
     rows = [
