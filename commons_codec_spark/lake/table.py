@@ -21,6 +21,11 @@ Semantics (the Iceberg-MERGE analog, SURVEY.md §2.4 E1/E2/E5):
   row's ``_seq`` is skipped — the
   ``whenMatchedUpdate(condition=s.seq >= t.seq)`` analog for cross-batch
   LWW.
+* delete tombstones: deletes keep a ``__deleted`` row carrying the delete's
+  seq (reads filter it out).  Under at-least-once delivery a re-delivered
+  old insert of a since-deleted key is then rejected by the ordering guard
+  instead of resurrecting the key — the reference gets this for free from
+  the sink's current row; a snapshot merge has to remember.
 * additive schema evolution: a batch carrying new payload columns widens
   the snapshot schema (types recorded in the commit); prior rows read as
   NULL (``mergeSchema`` analog; the north rule's ``lang`` case).
@@ -46,6 +51,7 @@ from commons_codec_spark.operators.cdc_fold import DELETE, KEEP, SET
 
 SEQ_COL = "_seq"
 BUCKET_COL = "__bucket"
+DELETED_COL = "__deleted"
 
 
 class KeyedLakeTable:
@@ -128,30 +134,51 @@ class KeyedLakeTable:
         return ", ".join(f"`{k}` {t}" for k, t in self.key_schema.items())
 
     def _full_schema(self, payload_schema: dict[str, str]) -> str:
-        cols = {**self.key_schema, **payload_schema, SEQ_COL: "long"}
+        cols = {
+            **self.key_schema,
+            **payload_schema,
+            SEQ_COL: "long",
+            DELETED_COL: "boolean",
+        }
         return ", ".join(f"`{c}` {t}" for c, t in cols.items())
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current snapshot (optionally pruned to a bucket subset)."""
+    def read(
+        self, buckets: list[int] | None = None, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Current snapshot (optionally pruned to a bucket subset).
+
+        Deleted keys persist as tombstone rows (`__deleted`, payload NULL,
+        `_seq` = delete position) so a late out-of-order insert with an
+        older seq cannot resurrect them; reads exclude tombstones unless
+        asked (the merge asks).
+        """
         commit = self._current_commit()
         payload_schema = commit["payload_schema"]
-        cols = self.keys + list(payload_schema) + [SEQ_COL]
+        cols = self.keys + list(payload_schema) + [SEQ_COL, DELETED_COL]
         paths = [
             p
             for b, p in commit["buckets"].items()
             if buckets is None or int(b) in buckets
         ]
         if not paths:
-            return self.spark.createDataFrame(
+            df = self.spark.createDataFrame(
                 [], T._parse_datatype_string(self._full_schema(payload_schema))
             )
-        # mergeSchema: buckets written before an additive evolution lack the
-        # new columns; fill them as typed NULLs.
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        for c, t in payload_schema.items():
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(t))
-        return df.select(*cols)
+        else:
+            # mergeSchema: buckets written before an additive evolution lack
+            # the new columns; fill them as typed NULLs.
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            for c, t in payload_schema.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(t))
+            if DELETED_COL not in df.columns:
+                df = df.withColumn(DELETED_COL, F.lit(False))
+            df = df.select(*cols)
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+            DELETED_COL
+        )
 
     # ------------------------------------------------------------------ merge
 
@@ -194,7 +221,9 @@ class KeyedLakeTable:
             # the caller promised a superset; enforce it so a wrong hint
             # can't orphan net rows in un-tracked bucket dirs
             net = net.filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
-        current = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
+        current = self.read(buckets=touched, include_tombstones=True).withColumn(
+            BUCKET_COL, self._bucket_expr()
+        )
 
         # --- merge join on keys (bucket-local; AQE handles skew split)
         joined = current.alias("t").join(
@@ -202,14 +231,18 @@ class KeyedLakeTable:
         )
 
         exists = F.col(f"t.{SEQ_COL}").isNotNull()
+        # a tombstoned key is ABSENT for branch selection (inserts apply),
+        # but its _seq still participates in the ordering guard, so an
+        # out-of-order insert older than the delete cannot resurrect it
+        live = exists & ~F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
         matched = F.col("s.aa").isNotNull()
         action = (
             F.when(~matched, F.lit(KEEP))
-            .when(exists, F.col("s.pa"))
+            .when(live, F.col("s.pa"))
             .otherwise(F.col("s.aa"))
         )
-        row = F.when(exists, F.col("s.prow")).otherwise(F.col("s.arow"))
-        seq = F.when(exists, F.col("s.pseq")).otherwise(F.col("s.aseq"))
+        row = F.when(live, F.col("s.prow")).otherwise(F.col("s.arow"))
+        seq = F.when(live, F.col("s.pseq")).otherwise(F.col("s.aseq"))
         # ordering guard: stale changes lose to the stored row (cross-batch LWW)
         guard = F.when(~exists, F.lit(True)).otherwise(
             F.coalesce(seq >= F.col(f"t.{SEQ_COL}"), F.lit(False))
@@ -221,31 +254,43 @@ class KeyedLakeTable:
             keep_val = (
                 F.col(f"t.{c}") if c in commit["payload_schema"] else F.lit(None).cast(t)
             )
-            return F.when(change, new_val).otherwise(keep_val).alias(c)
-
-        result = joined.filter(
-            # drop rows deleted by the batch, and non-inserts of absent keys
-            ~(
-                (change & (action == DELETE))
-                | (~exists & ~(change & (action == SET)))
+            return (
+                F.when(change & (action == DELETE), F.lit(None).cast(t))
+                .when(change, new_val)
+                .otherwise(keep_val)
+                .alias(c)
             )
-        ).select(
+
+        # deletes become tombstone rows (payload NULL, _seq = delete seq)
+        result = joined.filter(exists | change).select(
             *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in self.keys],
             *[out_col(c, t) for c, t in payload_schema.items()],
             F.when(change, seq).otherwise(F.col(f"t.{SEQ_COL}")).alias(SEQ_COL),
+            F.when(change, action == DELETE)
+            .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
+            .alias(DELETED_COL),
             F.col(BUCKET_COL),
         )
 
         # --- copy-on-write: write only touched buckets
         version = commit["version"] + 1
         out_dir = os.path.join(self.root, "data", f"v{version:012d}")
+        rows_written = None
         if touched:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge-v{version}")
             (
-                result.repartition(len(touched), F.col(BUCKET_COL))
+                result.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+                .repartition(len(touched), F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(out_dir)
             )
+            try:
+                rows_written = int(obs.get.get("rows_written") or 0)
+            except Exception:  # noqa: BLE001
+                rows_written = None
         buckets = dict(commit["buckets"])
         for b in touched:
             bpath = os.path.join(out_dir, f"{BUCKET_COL}={b}")
@@ -263,6 +308,7 @@ class KeyedLakeTable:
             "batch_id": batch_id,
             "version": version,
             "touched_buckets": len(touched),
+            "rows_written": rows_written,
             "skipped": False,
         }
 

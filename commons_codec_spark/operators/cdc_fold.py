@@ -59,7 +59,12 @@ def _step(acc: Column, ev: Column, payload_type: T.StructType) -> Column:
     def branch(action, row, seq, present_now):
         is_ins = (ev["op"] == "insert") & ~present_now
         is_upd = (ev["op"] == "update") & present_now
-        is_del = (ev["op"] == "delete") & present_now
+        # deletes are unconditionally effective: a delete of an absent key
+        # still records a tombstone action/seq, so a later-arriving batch
+        # carrying an OLDER insert cannot resurrect the key (the lake's
+        # ordering guard compares against the tombstone seq).  Read-state
+        # semantics are unchanged (reference: delete-missing is a no-op).
+        is_del = ev["op"] == "delete"
         new_action = (
             F.when(is_ins | is_upd, F.lit(SET))
             .when(is_del, F.lit(DELETE))
@@ -210,9 +215,9 @@ def _fold_closed_form(
         seq.alias("__seq"),
         F.when(~is_u, op).alias("__insdel"),
         ((is_i & ~pb_a) | (is_u & pb_a)).alias("__set_a"),
-        (is_d & pb_a).alias("__del_a"),
+        is_d.alias("__del_a"),  # deletes always tombstone — see _step
         ((is_i & ~pb_p) | (is_u & pb_p)).alias("__set_p"),
-        (is_d & pb_p).alias("__del_p"),
+        is_d.alias("__del_p"),
         row.alias("__row"),
     )
 

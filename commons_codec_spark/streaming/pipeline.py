@@ -59,6 +59,10 @@ class PipelineConfig:
     #: Costs one extra (tiny) job per batch, so off unless the stream
     #: actually carries DDL.
     handle_control: bool = False
+    #: Vacuum the lake's unreferenced snapshot versions every N applied
+    #: batches (0 = never).  Keeps long replays from accumulating one full
+    #: copy-on-write data dir per batch.
+    vacuum_every: int = 8
 
 
 class CDCPipeline:
@@ -178,6 +182,14 @@ class CDCPipeline:
 
         m = self._apply_data_batch(batch, batch_id)
         m["wall_sec"] = round(time.time() - t0, 3)
+        if m.get("events"):
+            m["events_per_sec"] = round(m["events"] / max(m["wall_sec"], 1e-3), 1)
+        if (
+            self.cfg.vacuum_every
+            and m.get("version")
+            and m["version"] % self.cfg.vacuum_every == 0
+        ):
+            self.table.vacuum(keep_last=2)
         self.metrics.append(m)
         self._emit_metrics(m)
         return m
@@ -201,9 +213,17 @@ class CDCPipeline:
         self._obs_n = getattr(self, "_obs_n", 0) + 1
         obs = Observation(f"dlq-{batch_id}-{self._obs_n}")
         # count(), not sum(): over an empty batch sum() yields a NULL metric
-        # row that PythonSQLUtils.toPyRow refuses to convert
+        # row that PythonSQLUtils.toPyRow refuses to convert.  The op
+        # histogram + lineage counters piggyback on the same Observation —
+        # zero extra jobs (north rule: per-batch lineage + throughput).
+        op = F.col("op")
         decoded = decoded.observe(
-            obs, F.count(F.when(~key_ok, F.lit(1))).alias("dlq_rows")
+            obs,
+            F.count(F.when(~key_ok, F.lit(1))).alias("dlq_rows"),
+            F.count(F.lit(1)).alias("events"),
+            F.count(F.when(op == "insert", F.lit(1))).alias("op_insert"),
+            F.count(F.when(op == "update", F.lit(1))).alias("op_update"),
+            F.count(F.when(op == "delete", F.lit(1))).alias("op_delete"),
         )
         if self.cfg.dlq_dir:
             decoded.filter(~key_ok).write.mode("append").parquet(self.cfg.dlq_dir)
@@ -224,16 +244,22 @@ class CDCPipeline:
         # sort-merge join re-sorts the whole uncompacted decode stream.
         merge_metrics = self.table.merge(net, batch_id=batch_id)
         try:
-            dlq_count = int(obs.get.get("dlq_rows") or 0)
+            observed = {k: int(v or 0) for k, v in obs.get.items()}
         except Exception:  # noqa: BLE001 — observation row absent (empty plan)
-            dlq_count = 0
+            observed = {}
 
         if self.checkpoint_dir and batch_id is not None:
             self.registry.save(self.checkpoint_dir, batch_id)
 
         return {
             "batch_id": batch_id,
-            "dlq_rows": dlq_count,
+            "dlq_rows": observed.get("dlq_rows", 0),
+            "events": observed.get("events", 0),
+            "op_hist": {
+                "insert": observed.get("op_insert", 0),
+                "update": observed.get("op_update", 0),
+                "delete": observed.get("op_delete", 0),
+            },
             **merge_metrics,
         }
 

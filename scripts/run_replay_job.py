@@ -1,0 +1,116 @@
+"""spark-submit entrypoint: replay a CDC envelope log into a keyed lake table.
+
+Cluster usage (the north rule's operating mode)::
+
+    cd /root/repo && zip -r /tmp/ccs.zip commons_codec_spark
+    spark-submit --py-files /tmp/ccs.zip scripts/run_replay_job.py \
+        --events  s3://bucket/cdc-envelopes/           \
+        --table   s3://bucket/lake/source_code         \
+        --checkpoint s3://bucket/ckpt/source_code      \
+        --buckets 4096 --stream
+
+Local smoke run (generates a synthetic log first)::
+
+    python scripts/run_replay_job.py --selftest
+
+Batch mode (default) replays `--events` micro-batch by micro-batch keyed on
+the envelope's `batch_id` column; `--stream` tails the directory with
+Structured Streaming instead (checkpointed offsets, availableNow).  Both
+paths share the same decode → fold → ordering-guarded merge and are
+exactly-once under kill-and-resume.  Per-batch metrics (events/sec, op
+histogram, dlq, touched buckets) stream to stdout and to
+`<checkpoint>/metrics.jsonl`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--events", help="envelope log dir (parquet)")
+    p.add_argument("--table", help="lake table root")
+    p.add_argument("--checkpoint", help="checkpoint dir (offsets + registry + metrics)")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--keys", default="repo,path")
+    p.add_argument("--stream", action="store_true", help="tail with Structured Streaming")
+    p.add_argument("--handle-control", action="store_true")
+    p.add_argument("--salt-chunks", type=int, default=None)
+    p.add_argument("--cpus", type=int, default=None, help="local mode only")
+    p.add_argument("--selftest", action="store_true", help="generate a synthetic log and replay it")
+    args = p.parse_args()
+
+    from commons_codec_spark.lake.table import KeyedLakeTable
+    from commons_codec_spark.session import get_spark
+    from commons_codec_spark.sources.eventlog import SOURCE_CODE_COLUMNS
+    from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+    spark = get_spark(app_name="cdc-replay", cpus=args.cpus)
+
+    if args.selftest:
+        from commons_codec_spark.sources.eventlog import generate_event_log
+
+        work = tempfile.mkdtemp(prefix="ccs-job-")
+        args.events = os.path.join(work, "events")
+        args.table = os.path.join(work, "table")
+        args.checkpoint = os.path.join(work, "ckpt")
+        generate_event_log(
+            spark, n_events=200_000, n_keys=20_000, n_repos=200, seed=1,
+            batch_size=50_000,
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(args.events)
+
+    if not (args.events and args.table and args.checkpoint):
+        p.error("--events, --table and --checkpoint are required (or --selftest)")
+
+    keys = args.keys.split(",")
+    if os.path.exists(os.path.join(args.table, "_meta.json")):
+        table = KeyedLakeTable(spark, args.table)
+    else:
+        table = KeyedLakeTable.create(
+            spark, args.table,
+            key_schema={k: "string" for k in keys},
+            n_buckets=args.buckets,
+        )
+    pipe = CDCPipeline(
+        spark,
+        table,
+        PipelineConfig(
+            keys=keys,
+            image_columns=SOURCE_CODE_COLUMNS,
+            salt_chunks=args.salt_chunks,
+            handle_control=args.handle_control,
+        ),
+        checkpoint_dir=args.checkpoint,
+    )
+
+    if args.stream:
+        events_schema = spark.read.parquet(args.events).drop("batch_id").schema
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in events_schema)
+        q = pipe.run_stream(args.events, schema=ddl)
+        q.awaitTermination()
+    else:
+        pipe.run_replay(spark.read.parquet(args.events))
+
+    for m in pipe.metrics:
+        print(json.dumps(m))
+    print(
+        json.dumps(
+            {
+                "final_rows": table.read().count(),
+                "version": table.version(),
+                "applied_batches": len(table.applied_batch_ids()),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,30 @@ def test_transform_hook_rewrites_payload(spark, tmp_path, small_log, oracle_stat
     assert state_hash(engine, COLUMNS) == state_hash(expect, COLUMNS)
 
 
+def test_stale_redelivery_does_not_resurrect_deletes(
+    spark, tmp_path, small_log, oracle_state
+):
+    """At-least-once re-delivery of OLD batches after newer state is applied
+    must be a no-op — even bypassing the applied-batch-id shortcut.  This is
+    where delete tombstones earn their keep: without them, a re-delivered
+    old insert of a since-deleted key resurrects it (the reference relies on
+    the sink's current row for ON-CONFLICT; a lake merge needs the tombstone
+    to remember the delete's seq)."""
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path)
+    pipe.run_replay(small_log)
+    _assert_state_matches(table, oracle_state)
+    # re-deliver every batch as if it were brand-new (batch_id=None forces a
+    # real re-merge instead of the bookkeeping skip)
+    bids = sorted(r[0] for r in small_log.select("batch_id").distinct().collect())
+    for bid in bids:
+        pipe.apply_batch(
+            small_log.filter(F.col("batch_id") == bid).drop("batch_id"),
+            batch_id=None,
+        )
+    _assert_state_matches(table, oracle_state)
+
+
 def test_control_events_create_and_drop(spark, tmp_path):
     """E6/E7: create-table learns PKs; drop-table empties the lake snapshot
     and resets the schema cache; all applied in arrival order
