@@ -268,6 +268,33 @@ def decode_mongo_events_pandas(events_json: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def make_mongo_decoder(
+    payload_schema: dict[str, str],
+    event_col: str = "event",
+):
+    """Pipeline decoder for MongoDB change-stream envelopes (EP3).
+
+    Returns a callable suitable for ``PipelineConfig.decoder``: the Arrow
+    lattice decode (:func:`decode_mongo_cdc`) produces ``op``/``oid`` plus
+    the decoded document as JSON; the document's fields are then lifted
+    into typed columns JVM-side via ``from_json`` using ``payload_schema``
+    (column -> spark ddl type).  ``drop``/``invalidate`` events (op NULL,
+    no error) are skipped silently, matching the reference's ``None``
+    return (``mongodb.py:337-343``); poison events keep ``error`` set and
+    flow to the pipeline's DLQ split (their key is NULL).
+    """
+    ddl = ", ".join(f"`{c}` {t}" for c, t in payload_schema.items())
+
+    def decode(batch: DataFrame) -> DataFrame:
+        d = decode_mongo_cdc(batch, event_col)
+        d = d.filter(F.col("op").isNotNull() | F.col("error").isNotNull())
+        rec = F.from_json(F.col("record"), ddl)
+        keep = [c for c in d.columns if c != "record"]
+        return d.select(*keep, *[rec[c].alias(c) for c in payload_schema])
+
+    return decode
+
+
 def decode_mongo_cdc(df: DataFrame, event_col: str = "event") -> DataFrame:
     """mapInPandas wrapper: decode a stream of change-stream event JSON."""
     passthrough = [f for f in df.schema.fields if f.name != event_col]

@@ -63,6 +63,12 @@ class PipelineConfig:
     #: batches (0 = never).  Keeps long replays from accumulating one full
     #: copy-on-write data dir per batch.
     vacuum_every: int = 8
+    #: Envelope dialect decoder.  None = the DynamoDB/DMS descriptor-image
+    #: decode (default).  Otherwise a callable(batch) -> DataFrame producing
+    #: ``op`` (insert|update|delete|NULL=skip), the key columns, ``seq_col``
+    #: and the payload columns — e.g. :func:`make_mongo_decoder` for
+    #: MongoDB change-stream envelopes (EP3).
+    decoder: Callable[[DataFrame], DataFrame] | None = None
 
 
 class CDCPipeline:
@@ -195,13 +201,15 @@ class CDCPipeline:
         return m
 
     def _apply_data_batch(self, batch: DataFrame, batch_id) -> dict:
-        self._discover_columns(batch)
-
-        # decode (JVM): image JSON -> typed columns; deletes decode keys_json
-        src = batch.withColumn(
-            "image", F.coalesce(F.col("image"), F.col("keys_json"))
-        )
-        decoded = compile_direct_decoder(src, "image", self._image_columns)
+        if self.cfg.decoder is not None:
+            decoded = self.cfg.decoder(batch)
+        else:
+            self._discover_columns(batch)
+            # decode (JVM): image JSON -> typed cols; deletes decode keys_json
+            src = batch.withColumn(
+                "image", F.coalesce(F.col("image"), F.col("keys_json"))
+            )
+            decoded = compile_direct_decoder(src, "image", self._image_columns)
 
         # DLQ: events whose key fields failed to decode.  Counted via an
         # Observation (piggybacks on the merge's own pass — no extra job);
@@ -268,6 +276,30 @@ class CDCPipeline:
             path = os.path.join(self.checkpoint_dir, "metrics.jsonl")
             with open(path, "a") as fh:
                 fh.write(json.dumps(m) + "\n")
+
+    # ------------------------------------------------------------ full load
+
+    def full_load(self, batch: DataFrame, image_col: str = "image", seq: int = 0) -> dict:
+        """Initial-snapshot ingest (S4/S5 — the reference's FullLoad
+        translators, ``dynamodb.py:141-159`` / ``mongodb.py:253-269``).
+
+        ``batch`` carries one descriptor image per record; every record is
+        applied as an insert at ``seq`` through the normal fold+merge, so
+        re-running a full load is idempotent (ON CONFLICT DO NOTHING) and a
+        subsequent CDC stream with higher seqs wins over the loaded rows.
+        """
+        decoded = compile_direct_decoder(batch, image_col, self._image_columns)
+        env = decoded.withColumn("op", F.lit("insert")).withColumn(
+            self.cfg.seq_col, F.lit(seq).cast("long")
+        )
+        payload_cols = [c for c in self._image_columns if c not in self.cfg.keys]
+        net = fold_net_changes(
+            env, keys=self.cfg.keys, payload_cols=payload_cols,
+            seq_col=self.cfg.seq_col,
+        )
+        m = self.table.merge(net, batch_id=None)
+        self.metrics.append({"full_load": True, **m})
+        return m
 
     # ------------------------------------------------------------ batch replay
 

@@ -182,6 +182,46 @@ def test_stale_redelivery_does_not_resurrect_deletes(
     _assert_state_matches(table, oracle_state)
 
 
+def test_full_load_then_cdc(spark, tmp_path):
+    """S4/S5: an initial full-load snapshot is idempotent (run-twice) and
+    loses to the CDC stream's higher seqs (`dynamodb.py:141-159`,
+    `tests/transform/test_dynamodb_full.py:112-136`)."""
+    def img(repo, path, commit, content):
+        return (
+            f'{{"repo":{{"S":"{repo}"}},"path":{{"S":"{path}"}},'
+            f'"commit":{{"S":"{commit}"}},"content":{{"S":"{content}"}}}}'
+        )
+
+    table = _fresh_table(spark, tmp_path, n_buckets=2)
+    cfg = PipelineConfig(
+        keys=KEYS,
+        image_columns={"repo": "S", "path": "S", "commit": "S", "content": "S"},
+        discover_columns=False,
+    )
+    pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    snapshot = spark.createDataFrame(
+        [(img("r", "a", "c0", "v0"),), (img("r", "b", "c0", "v0"),)],
+        "image string",
+    )
+    pipe.full_load(snapshot, seq=-1)
+    assert table.read().count() == 2
+    pipe.full_load(snapshot, seq=-1)  # run twice: idempotent
+    assert table.read().count() == 2
+
+    cdc = spark.createDataFrame(
+        [
+            ("update", '{"repo":{"S":"r"},"path":{"S":"a"}}', img("r", "a", "c1", "v1"), 5),
+            ("delete", '{"repo":{"S":"r"},"path":{"S":"b"}}', None, 6),
+            ("insert", '{"repo":{"S":"r"},"path":{"S":"c"}}', img("r", "c", "c2", "v2"), 7),
+        ],
+        "op string, keys_json string, image string, commit_seq long",
+    )
+    pipe.apply_batch(cdc, batch_id=0)
+    state = {(r.repo, r.path): (r.commit, r.content) for r in table.read().collect()}
+    assert state == {("r", "a"): ("c1", "v1"), ("r", "c"): ("c2", "v2")}
+
+
 def test_control_events_create_and_drop(spark, tmp_path):
     """E6/E7: create-table learns PKs; drop-table empties the lake snapshot
     and resets the schema cache; all applied in arrival order
