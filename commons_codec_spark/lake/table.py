@@ -54,6 +54,67 @@ BUCKET_COL = "__bucket"
 DELETED_COL = "__deleted"
 
 
+#: Memoized merge expressions: building the when-trees costs ~0.3 s of
+#: serial driver Python per micro-batch; they depend only on schema shape,
+#: so one instance serves every batch (Columns are immutable).
+_MERGE_EXPR_CACHE: dict = {}
+
+
+def _merge_exprs(keys, payload_items, batch_fields, current_fields):
+    """(filter_cond, select_cols) for the merge join output.
+
+    All expressions reference the join's ``t``/``s`` aliases only.
+    """
+    cache_key = (keys, payload_items, batch_fields, current_fields)
+    hit = _MERGE_EXPR_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    exists = F.col(f"t.{SEQ_COL}").isNotNull()
+    # a tombstoned key is ABSENT for branch selection (inserts apply),
+    # but its _seq still participates in the ordering guard, so an
+    # out-of-order insert older than the delete cannot resurrect it
+    live = exists & ~F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+    matched = F.col("s.aa").isNotNull()
+    action = (
+        F.when(~matched, F.lit(KEEP))
+        .when(live, F.col("s.pa"))
+        .otherwise(F.col("s.aa"))
+    )
+    row = F.when(live, F.col("s.prow")).otherwise(F.col("s.arow"))
+    seq = F.when(live, F.col("s.pseq")).otherwise(F.col("s.aseq"))
+    # ordering guard: stale changes lose to the stored row (cross-batch LWW)
+    guard = F.when(~exists, F.lit(True)).otherwise(
+        F.coalesce(seq >= F.col(f"t.{SEQ_COL}"), F.lit(False))
+    )
+    change = (action != KEEP) & guard
+
+    def out_col(c: str, t: str):
+        new_val = row[c] if c in batch_fields else F.lit(None).cast(t)
+        keep_val = (
+            F.col(f"t.{c}") if c in current_fields else F.lit(None).cast(t)
+        )
+        return (
+            F.when(change & (action == DELETE), F.lit(None).cast(t))
+            .when(change, new_val)
+            .otherwise(keep_val)
+            .alias(c)
+        )
+
+    select_cols = [
+        *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+        *[out_col(c, t) for c, t in payload_items],
+        F.when(change, seq).otherwise(F.col(f"t.{SEQ_COL}")).alias(SEQ_COL),
+        F.when(change, action == DELETE)
+        .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
+        .alias(DELETED_COL),
+        F.col(BUCKET_COL),
+    ]
+    out = (exists | change, select_cols)
+    _MERGE_EXPR_CACHE[cache_key] = out
+    return out
+
+
 class KeyedLakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -213,7 +274,9 @@ class KeyedLakeTable:
         net = net.withColumn(BUCKET_COL, self._bucket_expr())
         materialized = False
         if touched is None:
-            net = net.localCheckpoint()
+            # persist + the touched-discovery collect doubles as the
+            # materializing action: ONE job where checkpoint+distinct was two
+            net = net.persist()
             materialized = True
             touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
         else:
@@ -229,48 +292,14 @@ class KeyedLakeTable:
         joined = current.alias("t").join(
             net.alias("s"), on=self.keys + [BUCKET_COL], how="full_outer"
         )
-
-        exists = F.col(f"t.{SEQ_COL}").isNotNull()
-        # a tombstoned key is ABSENT for branch selection (inserts apply),
-        # but its _seq still participates in the ordering guard, so an
-        # out-of-order insert older than the delete cannot resurrect it
-        live = exists & ~F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
-        matched = F.col("s.aa").isNotNull()
-        action = (
-            F.when(~matched, F.lit(KEEP))
-            .when(live, F.col("s.pa"))
-            .otherwise(F.col("s.aa"))
+        filter_cond, select_cols = _merge_exprs(
+            tuple(self.keys),
+            tuple(payload_schema.items()),
+            frozenset(batch_fields),
+            frozenset(commit["payload_schema"]),
         )
-        row = F.when(live, F.col("s.prow")).otherwise(F.col("s.arow"))
-        seq = F.when(live, F.col("s.pseq")).otherwise(F.col("s.aseq"))
-        # ordering guard: stale changes lose to the stored row (cross-batch LWW)
-        guard = F.when(~exists, F.lit(True)).otherwise(
-            F.coalesce(seq >= F.col(f"t.{SEQ_COL}"), F.lit(False))
-        )
-        change = (action != KEEP) & guard
-
-        def out_col(c: str, t: str):
-            new_val = row[c] if c in batch_fields else F.lit(None).cast(t)
-            keep_val = (
-                F.col(f"t.{c}") if c in commit["payload_schema"] else F.lit(None).cast(t)
-            )
-            return (
-                F.when(change & (action == DELETE), F.lit(None).cast(t))
-                .when(change, new_val)
-                .otherwise(keep_val)
-                .alias(c)
-            )
-
         # deletes become tombstone rows (payload NULL, _seq = delete seq)
-        result = joined.filter(exists | change).select(
-            *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in self.keys],
-            *[out_col(c, t) for c, t in payload_schema.items()],
-            F.when(change, seq).otherwise(F.col(f"t.{SEQ_COL}")).alias(SEQ_COL),
-            F.when(change, action == DELETE)
-            .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
-            .alias(DELETED_COL),
-            F.col(BUCKET_COL),
-        )
+        result = joined.filter(filter_cond).select(*select_cols)
 
         # --- copy-on-write: write only touched buckets
         version = commit["version"] + 1

@@ -25,6 +25,10 @@ from commons_codec_spark.operators.lww import lww_latest
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp-derived results (unix_micros/millis, date_format) must agree
+    # with the UTC-naive DuckDB oracle even when the caller's session wasn't
+    # built by our get_spark — session TZ is a runtime conf, safe to pin here
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,6 +27,8 @@ from commons_codec_spark.operators import multimodal, similarity, text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC: the driver's session may not be ours (see queries.py)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
