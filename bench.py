@@ -167,7 +167,7 @@ def main() -> None:
         tps = {}
         for cpus in (SCALE_LOW, SCALE_HIGH):
             s = session(cpus)
-            m = best_of(s, log_dir, os.path.join(work, f"run-{cpus}"))
+            m = best_of(s, log_dir, os.path.join(work, f"run-{cpus}"), runs=3)
             tps[cpus] = N_EVENTS / m["wall_sec"]
             s.stop()
         eff = (tps[SCALE_HIGH] / tps[SCALE_LOW]) / (SCALE_HIGH / SCALE_LOW)
