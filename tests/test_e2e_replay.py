@@ -13,7 +13,7 @@ import pytest
 
 from commons_codec_spark.functions import dynamodb as ddb
 from commons_codec_spark.lake.table import KeyedLakeTable
-from commons_codec_spark.operators.cdc_fold import fold_net_changes
+from commons_codec_spark.operators.cdc_fold import SET, fold_net_changes
 from commons_codec_spark.oracle import replay_oracle, state_hash
 from commons_codec_spark.sources.eventlog import (
     SOURCE_CODE_COLUMNS,
@@ -134,6 +134,43 @@ def test_schema_evolution_lang_column(spark, tmp_path, small_log, oracle_state):
     # rows written before the cutover read as NULL lang
     langs = {r.lang for r in table.read().select("lang").distinct().collect()}
     assert None in langs or len(langs) > 1
+
+
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """North-rule skew case: one (repo, path) key owns ~80% of the batch.
+    Plain and salted folds must agree and produce the key's true LWW row.
+    (The closed-form fold has no per-key buffering, so the hot key costs a
+    sort run, not an O(events) array; salting additionally splits the sort.)
+    """
+    hot = [("insert", "hot", "p", f"c{i}", f"v{i}", i) for i in range(0, 8000)]
+    # make every 7th a delete and every 3rd an update for op churn
+    rows = []
+    for i, (op, r, p, c, v, s) in enumerate(hot):
+        if i % 7 == 3:
+            rows.append(("delete", r, p, None, None, s))
+        elif i % 3 == 1:
+            rows.append(("update", r, p, c, v, s))
+        else:
+            rows.append((op, r, p, c, v, s))
+    rows += [("insert", f"cold{i}", "p", "c", "v", 100_000 + i) for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "op string, repo string, path string, commit string, content string, commit_seq long"
+    ).repartition(8)
+
+    plain = fold_net_changes(df, KEYS, ["commit", "content"])
+    salted = fold_net_changes(df, KEYS, ["commit", "content"], salt_chunks=16)
+
+    def canon(d):
+        return sorted(
+            (r.repo, r.path, r.aa, r.aseq, r.pa, r.pseq,
+             tuple(r.arow) if r.arow else None)
+            for r in d.collect()
+        )
+
+    assert canon(plain) == canon(salted)
+    hot_row = [r for r in plain.collect() if r.repo == "hot"][0]
+    # last event for the hot key is seq 7999: i%7==3? 7999%7=5; 7999%3=1 -> update
+    assert hot_row.pa == SET and hot_row.pseq == 7999
 
 
 def test_transform_hook_rewrites_payload(spark, tmp_path, small_log, oracle_state):
