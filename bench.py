@@ -97,7 +97,7 @@ def best_of(spark, log_dir: str, work_root: str, runs: int = 2) -> dict:
     return best
 
 
-def run_replay(spark, log_dir: str, work_dir: str, n_buckets: int = 64) -> dict:
+def run_replay(spark, log_dir: str, work_dir: str, n_buckets: int = 32) -> dict:
     from commons_codec_spark.lake.table import KeyedLakeTable
     from commons_codec_spark.sources.eventlog import SOURCE_CODE_COLUMNS
     from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
