@@ -1,0 +1,55 @@
+"""Physical-plan hygiene: the properties that matter at 100 TB.
+
+These assertions pin the *shape* of the plans, not their results:
+the hot decode path must stay JVM-side (no EvalPython), scans must receive
+pushed filters and pruned schemas, and the fold must not degrade to a
+Python round-trip.
+"""
+
+import pyspark.sql.functions as F
+
+from commons_codec_spark.functions.dynamodb import compile_direct_decoder
+from commons_codec_spark.operators.cdc_fold import fold_net_changes
+from commons_codec_spark.sources.eventlog import (
+    SOURCE_CODE_COLUMNS,
+    generate_event_log,
+)
+
+PAYLOAD = [c for c in SOURCE_CODE_COLUMNS if c not in ("repo", "path")]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decode_and_fold_stay_jvm_side(spark):
+    events = generate_event_log(
+        spark, n_events=500, n_keys=50, n_repos=4, seed=3, batch_size=500
+    )
+    src = events.withColumn("image", F.coalesce("image", "keys_json"))
+    decoded = compile_direct_decoder(src, "image", SOURCE_CODE_COLUMNS)
+    net = fold_net_changes(decoded, ["repo", "path"], PAYLOAD)
+    plan = _plan(net)
+    assert "EvalPython" not in plan, "decode/fold fell back to a Python UDF"
+    assert "WindowGroupLimit" in plan or "Window" in plan  # closed-form fold shape
+
+
+def test_scan_pushdown_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "events-parquet")
+    generate_event_log(
+        spark, n_events=2000, n_keys=100, n_repos=4, seed=5, batch_size=500
+    ).write.partitionBy("batch_id").parquet(out)
+
+    df = spark.read.parquet(out)
+    q = df.filter(F.col("op") == "insert").select("event_id", "commit_seq")
+    plan = _plan(q)
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "op" in plan.split("PushedFilters")[1][:80]
+    # column pruning: content-bearing `image` must not be read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "image" not in read_schema and "event_id" in read_schema
+
+    # partition pruning on the micro-batch column
+    pruned = df.filter(F.col("batch_id") == 1)
+    pplan = _plan(pruned)
+    assert "PartitionFilters: [" in pplan and "batch_id" in pplan.split("PartitionFilters")[1][:120]
