@@ -153,7 +153,7 @@ def main() -> None:
     # --- headline at CPUS
     spark = session(CPUS)
     make_log(spark, log_dir)
-    head = best_of(spark, log_dir, os.path.join(work, "run-main"))
+    head = best_of(spark, log_dir, os.path.join(work, "run-main"), runs=3)
     result["metric"] = "cdc_replay_e2e_sec"
     result["value"] = head["wall_sec"]
     result["unit"] = "sec"
@@ -168,7 +168,7 @@ def main() -> None:
     # one side's whole series; min per level = steady state.
     if SCALING:
         samples: dict = {SCALE_LOW: [], SCALE_HIGH: []}
-        for i in range(3):
+        for i in range(4):
             for cpus in (SCALE_HIGH, SCALE_LOW):
                 s = session(cpus)
                 m = run_replay(s, log_dir, os.path.join(work, f"run-{cpus}-{i}"))
