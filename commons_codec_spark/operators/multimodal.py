@@ -132,3 +132,49 @@ def sample_frames(
             )
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """media binary -> resized media binary + (resized_w, resized_h).
+
+    The pixel work is the stubbed codec step (real mode:
+    ``PIL.Image.open(...).resize((width, height))`` — raises the explicit
+    NotImplementedError here); the stand-in emits a deterministic
+    sha256-derived payload whose length scales with the target area, so
+    batch shapes and downstream size accounting stay realistic.
+    """
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        list(passthrough)
+        + [
+            T.StructField(media_col, T.BinaryType()),
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_len = max((width * height) // 64, 32)
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf[media_col]:
+                if not use_fake_decoder:
+                    _decode_image_real(payload)
+                digest = hashlib.sha256(
+                    (payload or b"") + f"{width}x{height}".encode()
+                ).digest()
+                reps = target_len // len(digest) + 1
+                out_payloads.append((digest * reps)[:target_len])
+            out = pdf.drop(columns=[media_col])
+            out[media_col] = out_payloads
+            out["resized_w"] = width
+            out["resized_h"] = height
+            yield out
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -462,6 +462,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, dim=8, media_col="media")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    resized = multimodal.resize_images(media, width=64, height=48)
+    return resized.select(
+        "doc_id", "resized_w", "resized_h",
+        F.length(F.col("media")).alias("payload_len"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = d.select(
@@ -485,5 +495,12 @@ EXTRA_QUERIES = {
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
     "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_resize": (
+        q_multimodal_resize,
+        # the shape/accounting side is SQL-stateable even though the codec
+        # is stubbed: fixed target dims, payload_len = max(w*h/64, 32)
+        "SELECT doc_id, CAST(64 AS INT) AS resized_w, CAST(48 AS INT) AS resized_h, "
+        "CAST(48 AS INT) AS payload_len FROM documents",
+    ),
     "multimodal_frame_sample": (q_multimodal_frames, None),
 }
