@@ -111,6 +111,62 @@ def split_valid_invalid(
     return df.filter(pred), df.filter(~pred | pred.isNull())
 
 
+def make_dms_decoder(
+    payload_schema: Mapping[str, str],
+    keys: list[str],
+    envelope_col: str = "envelope",
+    target_schema: str | None = None,
+    target_table: str | None = None,
+):
+    """Pipeline decoder for raw AWS DMS envelopes (EP1, fully JVM-side).
+
+    A DMS event is ``{"data": {...plain JSON values...}, "metadata":
+    {"operation": ..., "schema-name": ..., "table-name": ...}}``
+    (``/root/reference/src/commons_codec/transform/aws_dms.py:28-83``) —
+    unlike DynamoDB images, ``data`` carries plain JSON, so the whole
+    decode is one ``from_json``.  The returned callable suits
+    ``PipelineConfig.decoder``: it normalizes the operation
+    (load|insert -> insert, create/drop-table -> control), applies
+    ``awsdms_*`` routing, filters to the target table when given, and
+    routes invalid envelopes (missing operation/schema/table —
+    ``MessageFormatError``, ``aws_dms.py:46-55``) to the DLQ by nulling
+    their key columns.
+    """
+    data_ddl = ", ".join(f"`{c}` {t}" for c, t in payload_schema.items())
+    env_ddl = (
+        f"struct<`data`: struct<{data_ddl}>, "
+        "`metadata`: struct<`operation` string, `schema-name` string, "
+        "`table-name` string>>"
+    )
+
+    def decode(df: DataFrame) -> DataFrame:
+        parsed = F.from_json(F.col(envelope_col), env_ddl)
+        d = df.withColumn("__env", parsed)
+        meta = F.col("__env.metadata")
+        routed = route_schema(meta["schema-name"], meta["table-name"])
+        valid = is_valid_envelope(meta["operation"], routed, meta["table-name"])
+        if target_schema and target_table:
+            d = d.filter(
+                ~valid
+                | ((routed == target_schema) & (meta["table-name"] == target_table))
+            )
+        out_cols = [
+            # invalid envelope -> NULL keys -> pipeline DLQ split
+            (F.when(valid, F.col(f"__env.data.{c}")) if c in keys
+             else F.col(f"__env.data.{c}")).alias(c)
+            for c in payload_schema
+        ]
+        return d.select(
+            *[c for c in df.columns if c != envelope_col],
+            normalize_op(meta["operation"]).alias("op"),
+            routed.alias("schema_routed"),
+            meta["table-name"].alias("table_routed"),
+            *out_cols,
+        )
+
+    return decode
+
+
 def reparse_object_columns(
     df: DataFrame, column_types: Mapping[str, str], json_schemas: Mapping[str, str]
 ) -> DataFrame:

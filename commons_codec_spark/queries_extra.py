@@ -368,6 +368,54 @@ SELECT a, b, cos2_bp FROM scored WHERE cos2_bp >= 9000
 # (SURVEY.md §2.2 P3/P5, §2.3 D9, §2.4 E9)
 # ---------------------------------------------------------------------------
 
+def q_dms_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw DMS envelope decode (EP1): one from_json for metadata + plain-JSON
+    data, op normalization, awsdms_* routing — all JVM-side."""
+    from commons_codec_spark.functions.dms import make_dms_decoder
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    op = (
+        F.when(k % 10 == 0, F.lit("load"))
+        .when(k % 10 < 7, F.lit("insert"))
+        .when(k % 10 < 9, F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    table = F.when(k % 97 == 0, F.lit("awsdms_history")).otherwise(F.lit("orders_cdc"))
+    envelope = F.format_string(
+        '{"data":{"okey":%d,"status":"%s","total_cents":%d},'
+        '"metadata":{"operation":"%s","schema-name":"sales","table-name":"%s"}}',
+        k, F.col("o_orderstatus"), F.round(F.col("o_totalprice") * 100).cast("long"),
+        op, table,
+    )
+    env = o.select(envelope.alias("envelope"), k.alias("seq"))
+    decode = make_dms_decoder(
+        {"okey": "bigint", "status": "string", "total_cents": "bigint"},
+        keys=["okey"],
+    )
+    return decode(env)
+
+
+SQL_DMS_ENVELOPE = """
+WITH base AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT k AS seq,
+       CASE WHEN k % 10 = 0 THEN 'insert'
+            WHEN k % 10 < 7 THEN 'insert'
+            WHEN k % 10 < 9 THEN 'update'
+            ELSE 'delete' END AS op,
+       CASE WHEN k % 97 = 0 THEN 'dms' ELSE 'sales' END AS schema_routed,
+       CASE WHEN k % 97 = 0 THEN 'awsdms_history' ELSE 'orders_cdc' END AS table_routed,
+       k AS okey,
+       status,
+       cents AS total_cents
+FROM base
+"""
+
+
 _DMS_OPS = ["load", "insert", "update", "delete", "create-table", "drop-table", "bogus"]
 _DMS_TYPES = ["INT8", "INT16", "INT32", "INT64", "STRING", "NUMERIC", "CLOB"]
 
@@ -493,6 +541,7 @@ EXTRA_QUERIES = {
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
+    "dms_envelope_decode": (q_dms_envelope_decode, SQL_DMS_ENVELOPE),
     "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (
