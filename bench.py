@@ -168,7 +168,7 @@ def main() -> None:
     # one side's whole series; min per level = steady state.
     if SCALING:
         samples: dict = {SCALE_LOW: [], SCALE_HIGH: []}
-        for i in range(4):
+        for i in range(int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))):
             for cpus in (SCALE_HIGH, SCALE_LOW):
                 s = session(cpus)
                 m = run_replay(s, log_dir, os.path.join(work, f"run-{cpus}-{i}"))

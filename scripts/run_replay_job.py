@@ -41,6 +41,12 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--keys", default="repo,path")
     p.add_argument("--stream", action="store_true", help="tail with Structured Streaming")
+    p.add_argument(
+        "--dialect", choices=["dynamodb", "dms", "mongodb"], default="dynamodb",
+        help="envelope dialect: DynamoDB descriptor images (default), raw DMS "
+             "envelopes (expects an `envelope` column), or MongoDB change "
+             "streams (expects an `event` column keyed on oid)",
+    )
     p.add_argument("--handle-control", action="store_true")
     p.add_argument("--salt-chunks", type=int, default=None)
     p.add_argument("--cpus", type=int, default=None, help="local mode only")
@@ -70,6 +76,20 @@ def main() -> None:
         p.error("--events, --table and --checkpoint are required (or --selftest)")
 
     keys = args.keys.split(",")
+    decoder = None
+    if args.dialect == "dms":
+        from commons_codec_spark.functions.dms import make_dms_decoder
+
+        decoder = make_dms_decoder(
+            {c: "string" for c in SOURCE_CODE_COLUMNS}, keys=keys
+        )
+    elif args.dialect == "mongodb":
+        from commons_codec_spark.functions.mongodb import make_mongo_decoder
+
+        keys = ["oid"]
+        decoder = make_mongo_decoder(
+            {c: "string" for c in SOURCE_CODE_COLUMNS if c not in ("repo", "path")}
+        )
     if os.path.exists(os.path.join(args.table, "_meta.json")):
         table = KeyedLakeTable(spark, args.table)
     else:
@@ -86,6 +106,7 @@ def main() -> None:
             image_columns=SOURCE_CODE_COLUMNS,
             salt_chunks=args.salt_chunks,
             handle_control=args.handle_control,
+            decoder=decoder,
         ),
         checkpoint_dir=args.checkpoint,
     )
