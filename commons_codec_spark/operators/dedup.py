@@ -112,10 +112,18 @@ def lsh_candidate_pairs(
     (band_key, id) → self-join per band → distinct candidate pairs →
     exact Jaccard ≥ threshold.  Returns (a, b, jaccard_pct), a < b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sigs = sh.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    # Materialize (id, shingles) once: it feeds the signature build and the
+    # two verify-side re-attach joins below (the 100 TB shape is the same —
+    # a persisted shingle table built in one pass).
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    sigs = sh.select("id", *minhash_signature(F.col("sh"), num_hashes))
 
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -130,21 +138,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("id", "sh", F.explode(bands).alias("band"))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(right, on="band")
+    # The band self-join and the pair dedup move (band, id) pairs ONLY —
+    # shuttling the full shingle arrays through the join (and twice more
+    # through dropDuplicates) was the #1 shuffle-volume hotspot; signatures
+    # re-attach to the compact distinct pair list afterwards.
+    banded = sigs.select("id", F.explode(bands).alias("band"))
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="band")
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.sh").alias("sa"),
-            F.col("r.sh").alias("sb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    cand = pairs.join(
+        sh.select(F.col("id").alias("a"), F.col("sh").alias("sa")), on="a"
+    ).join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sb")), on="b")
     return (
         cand.withColumn("jaccard_pct", jaccard_pct(F.col("sa"), F.col("sb")))
         .filter(F.col("jaccard_pct") >= verify_threshold_pct)

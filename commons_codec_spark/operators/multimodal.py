@@ -50,15 +50,23 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - needs Pillow
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in feature extractor: sha256-seeded vector.
+    """Deterministic stand-in feature extractor: sha256-byte chain.
 
-    Keeps tests meaningful (stable values, right shapes) while being
-    honest that no real decoding happens here.
+    Component j is byte j of sha256(payload) (re-hashing the block for
+    dim > 32), mapped to ``b/256 - 0.5`` ∈ [-0.5, 0.496].  The divisor is
+    a power of two, so every component is exactly representable in
+    float32 — a SQL oracle (sha256 over the same bytes) reproduces the
+    quantized values bit-for-bit, keeping the contract check hash-exact
+    while staying honest that no real decoding happens here.
     """
-    digest = hashlib.sha256(payload or b"").digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    out = bytearray()
+    block = hashlib.sha256(payload or b"").digest()
+    out.extend(block)
+    while len(out) < dim:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    arr = np.frombuffer(bytes(out[:dim]), dtype=np.uint8).astype(np.float32)
+    return arr / np.float32(256.0) - np.float32(0.5)
 
 
 def extract_features(
@@ -92,6 +100,16 @@ def extract_features(
     return df.mapInPandas(_map, schema=out_schema)
 
 
+def frame_stub_bytes(payload: bytes, ts_ms: int) -> bytes:
+    """Stand-in for a decoded video frame: sha256 over ``md5hex(payload):ts``.
+
+    Stated over strings (hex digest + decimal timestamp) so any engine
+    with string md5/sha256 — Spark, DuckDB — reproduces it exactly.
+    """
+    seed = hashlib.md5(payload or b"").hexdigest() + ":" + str(int(ts_ms))
+    return hashlib.sha256(seed.encode()).digest()
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,
@@ -100,38 +118,39 @@ def sample_frames(
 ) -> DataFrame:
     """Video -> one row per sampled frame timestamp (decode stubbed).
 
-    Emits (frame_ts_ms, frame: binary) rows; the frame payload here is a
-    deterministic slice marker, standing in for the decoded frame bytes.
+    The timestamp expansion is pure JVM — ``explode(sequence(0,
+    duration-1, every_ms))`` — so only the codec boundary runs in Python:
+    a vectorized (Arrow-batched) pandas UDF mapping (payload, ts) ->
+    frame bytes, here the :func:`frame_stub_bytes` stand-in for the real
+    ffmpeg/PyAV frame grab.  At scale the explode multiplies rows *before*
+    the Python exchange, but each Python batch carries the payload once
+    per frame either way; a real deployment would decode per *video* and
+    emit frames from one pass — that variant needs the actual codec, so
+    the plumbing here models the per-frame API instead.
     """
-    passthrough = [f for f in df.schema.fields if f.name not in (media_col,)]
-    out_schema = T.StructType(
-        list(passthrough)
-        + [
-            T.StructField("frame_ts_ms", T.LongType()),
-            T.StructField("frame", T.BinaryType()),
-        ]
+    import pyspark.sql.functions as F
+
+    @F.pandas_udf("binary")
+    def _frame_stub(media: pd.Series, ts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [frame_stub_bytes(m, t) for m, t in zip(media, ts)],
+            dtype=object,
+        )
+
+    duration = F.coalesce(F.col(meta_col)["duration_ms"], F.lit(0)).cast("long")
+    ts_array = F.when(
+        duration >= 1,
+        F.sequence(
+            F.lit(0).cast("long"), duration - 1, F.lit(int(every_ms)).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    passthrough = [c for c in df.columns if c != media_col]
+    exploded = df.select(*df.columns, F.explode(ts_array).alias("frame_ts_ms"))
+    return exploded.select(
+        *passthrough,
+        "frame_ts_ms",
+        _frame_stub(F.col(media_col), F.col("frame_ts_ms")).alias("frame"),
     )
-
-    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                duration = (row[meta_col] or {}).get("duration_ms") or 0
-                for ts in range(0, int(duration), every_ms):
-                    out = {k: row[k] for k in pdf.columns if k != media_col}
-                    out["frame_ts_ms"] = ts
-                    payload = row[media_col] or b""
-                    out["frame"] = hashlib.sha256(
-                        payload + ts.to_bytes(8, "big")
-                    ).digest()
-                    rows.append(out)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema.fields]
-            ) if rows else pd.DataFrame(
-                {f.name: [] for f in out_schema.fields}
-            )
-
-    return df.mapInPandas(_map, schema=out_schema)
 
 
 def resize_images(

@@ -199,6 +199,9 @@ def cosine_near_dup_pairs(
         int_norm2(F.col("qv")).alias("n2"),
         lsh_bucket(F.col("qv"), dim, n_bits).alias("bucket"),
     )
+    # each id lives in exactly ONE bucket, so the self-equi-join emits every
+    # qualifying pair exactly once — no pair-dedup shuffle needed (unlike the
+    # multi-band minhash join in operators.dedup)
     cand = (
         side.alias("l")
         .join(side.alias("r"), on="bucket")
@@ -208,7 +211,6 @@ def cosine_near_dup_pairs(
             F.col("l.qv").alias("va"), F.col("r.qv").alias("vb"),
             F.col("l.n2").alias("na"), F.col("r.n2").alias("nb"),
         )
-        .dropDuplicates(["a", "b"])
     )
     dot = int_dot(F.col("va"), F.col("vb"))
     return (

@@ -272,16 +272,19 @@ def q_envelope_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = env.withColumn(
         "schema_name", dms.route_schema(F.col("schema_name"), F.col("table_name"))
     )
-    valid, dlq = dms.split_valid_invalid(env)
-    return spark.createDataFrame(
-        [
-            (
-                valid.count(),
-                dlq.count(),
-                valid.filter(F.col("schema_name") == "dms").count(),
-            )
-        ],
-        "valid_rows bigint, dlq_rows bigint, routed_dms bigint",
+    # single aggregation pass over the validity predicate — no driver-side
+    # counts, no repeated scans (the split_valid_invalid DataFrame pair is
+    # for routing, not counting)
+    valid = dms.is_valid_envelope(
+        F.col("operation"), F.col("schema_name"), F.col("table_name")
+    )
+    one = F.lit(1)
+    return env.agg(
+        F.coalesce(F.sum(F.when(valid, one)), F.lit(0)).alias("valid_rows"),
+        F.coalesce(F.sum(F.when(~valid | valid.isNull(), one)), F.lit(0)).alias("dlq_rows"),
+        F.coalesce(
+            F.sum(F.when(valid & (F.col("schema_name") == "dms"), one)), F.lit(0)
+        ).alias("routed_dms"),
     )
 
 

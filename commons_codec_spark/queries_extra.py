@@ -5,9 +5,9 @@ plane, winnowing fingerprints, multimodal plumbing.
 Same design as :mod:`commons_codec_spark.queries`: every query derives its
 input deterministically from the shared testdata parquet so a DuckDB
 oracle can compute the identical result (hash-exact: integers/strings
-only where rounding is representation-sensitive).  The two multimodal
-queries have no SQL oracle (sha256-seeded stand-in features) and get the
-driver's rows-only check.
+only where rounding is representation-sensitive).  Array-valued results
+are exploded to scalar rows — the driver's canonicalizer sorts the result
+in pandas, which cannot hash list cells.
 """
 
 from __future__ import annotations
@@ -470,11 +470,14 @@ FROM base
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one row per (doc, fingerprint): the driver's canonicalizer sorts the
+    # result in pandas, which cannot hash array cells — scalars only
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    fps = d.select(
         "doc_id",
-        text.rolling_fingerprints(F.col("text"), k=5, window=4).alias("fingerprints"),
+        text.rolling_fingerprints(F.col("text"), k=5, window=4).alias("fps"),
     )
+    return fps.select("doc_id", F.explode("fps").alias("fingerprint"))
 
 
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -487,27 +490,54 @@ h AS (
                 ELSE list_transform(range(1, len(t) - 4 + 1),
                                     i -> md5(substr(t, i, 5))) END AS hs
     FROM g
+),
+fp AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+               CASE WHEN len(hs) - 3 < 1 THEN []
+                    ELSE list_transform(range(1, len(hs) - 3 + 1),
+                                        i -> list_aggregate(hs[i:i+3], 'min')) END
+           )) AS fingerprints
+    FROM h
 )
-SELECT doc_id,
-       list_sort(list_distinct(
-           CASE WHEN len(hs) - 3 < 1 THEN []
-                ELSE list_transform(range(1, len(hs) - 3 + 1),
-                                    i -> list_aggregate(hs[i:i+3], 'min')) END
-       )) AS fingerprints
-FROM h
+SELECT doc_id, unnest(fingerprints) AS fingerprint FROM fp
 """
 
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; schema/partitioning/batching real).
-# No SQL oracle — sha256-seeded stand-in features; rows-only driver check.
+# The stand-in codecs are stated over sha256/md5 so DuckDB oracles verify
+# them hash-exact: features are sha256 bytes mapped to (b/256 - 0.5)
+# (exact in float32 — power-of-two divisor), frames are sha256 over
+# "md5hex(payload):ts".
 # ---------------------------------------------------------------------------
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
-    return multimodal.extract_features(media, dim=8, media_col="media")
+    feats = multimodal.extract_features(media, dim=8, media_col="media")
+    # scalar rows for the driver canonicalizer; ×1024 is exact on the
+    # float32 components (= byte*4 - 512), so the hash compare is stable
+    exploded = feats.select("doc_id", F.posexplode("features").alias("j", "f"))
+    return exploded.select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        (F.col("f") * 1024).cast("long").alias("feat_q"),
+    )
+
+
+_SQL_HEX_DIGITS = "0123456789abcdef"
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+j AS (SELECT doc_id, hx, unnest(range(0, 8)) AS j FROM h)
+SELECT doc_id, j,
+       CAST(((strpos('{_SQL_HEX_DIGITS}', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16
+            + (strpos('{_SQL_HEX_DIGITS}', substr(hx, CAST(2*j+2 AS INT), 1)) - 1)) * 4 - 512
+            AS BIGINT) AS feat_q
+FROM j
+"""
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +560,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media_meta"),
     )
     frames = multimodal.sample_frames(media, every_ms=1000)
-    return frames.select("doc_id", "frame_ts_ms", F.hex(F.col("frame")).alias("frame_hex"))
+    return frames.select(
+        "doc_id", "frame_ts_ms", F.lower(F.hex(F.col("frame"))).alias("frame_hex")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, (n_chars % 5 + 1) * 1000, 1000)) AS frame_ts_ms
+    FROM documents
+)
+SELECT doc_id, frame_ts_ms,
+       sha256(md5(text) || ':' || CAST(frame_ts_ms AS VARCHAR)) AS frame_hex
+FROM f
+"""
 
 
 EXTRA_QUERIES = {
@@ -543,7 +587,7 @@ EXTRA_QUERIES = {
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
     "dms_envelope_decode": (q_dms_envelope_decode, SQL_DMS_ENVELOPE),
     "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (
         q_multimodal_resize,
         # the shape/accounting side is SQL-stateable even though the codec
@@ -551,5 +595,5 @@ EXTRA_QUERIES = {
         "SELECT doc_id, CAST(64 AS INT) AS resized_w, CAST(48 AS INT) AS resized_h, "
         "CAST(48 AS INT) AS payload_len FROM documents",
     ),
-    "multimodal_frame_sample": (q_multimodal_frames, None),
+    "multimodal_frame_sample": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

@@ -37,6 +37,21 @@ def normalize(rows, columns):
     return sorted(out)
 
 
+def driver_canon_ok(rows, columns) -> str | None:
+    """Mimic the driver's pandas canonicalization (sort_values over all
+    columns).  Array/map cells are unhashable there and crash the round's
+    CORRECTNESS entry even when values match — catch that locally."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=list(columns))
+        if len(pdf):
+            pdf.sort_values(by=list(columns))
+        return None
+    except Exception as exc:  # noqa: BLE001
+        return f"{type(exc).__name__}: {exc}"
+
+
 def main(sf_dir: str) -> int:
     import __spark_entry__ as entrymod
     from commons_codec_spark.session import get_spark
@@ -75,6 +90,10 @@ def main(sf_dir: str) -> int:
         else:
             ok = len(srows) >= 0
             status = [f"rows-only: {len(srows)}"]
+        canon_err = driver_canon_ok(srows, scols)
+        if canon_err:
+            ok = False
+            status.append(f"driver-canon: {canon_err}")
         print(f"{'PASS' if ok else 'FAIL'} {name}: {' '.join(status)}")
         if not ok:
             failures += 1
