@@ -273,16 +273,30 @@ class KeyedLakeTable:
         # --- prune to touched buckets
         net = net.withColumn(BUCKET_COL, self._bucket_expr())
         materialized = False
-        if touched is None:
+        hint_obs = None
+        if touched is None or not touched:
             # persist + the touched-discovery collect doubles as the
-            # materializing action: ONE job where checkpoint+distinct was two
+            # materializing action: ONE job where checkpoint+distinct was two.
+            # An EMPTY hint also lands here: trusting it would skip the write
+            # job entirely and silently drop any net rows it was wrong about.
             net = net.persist()
             materialized = True
             touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
         else:
             touched = sorted(set(int(b) for b in touched))
-            # the caller promised a superset; enforce it so a wrong hint
-            # can't orphan net rows in un-tracked bucket dirs
+            # the caller promised a superset; verify it on the same pass the
+            # write job makes — a wrong hint must FAIL, not silently drop
+            # changes (the filter below would otherwise eat them)
+            from pyspark.sql import Observation
+
+            self._hint_obs_n = getattr(self, "_hint_obs_n", 0) + 1
+            hint_obs = Observation(f"merge-hint-{self._hint_obs_n}")
+            net = net.observe(
+                hint_obs,
+                F.count(
+                    F.when(~F.col(BUCKET_COL).isin([int(b) for b in touched]), F.lit(1))
+                ).alias("out_of_hint"),
+            )
             net = net.filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
         current = self.read(buckets=touched, include_tombstones=True).withColumn(
             BUCKET_COL, self._bucket_expr()
@@ -320,6 +334,19 @@ class KeyedLakeTable:
                 rows_written = int(obs.get.get("rows_written") or 0)
             except Exception:  # noqa: BLE001
                 rows_written = None
+        if hint_obs is not None:
+            try:
+                out_of_hint = int(hint_obs.get.get("out_of_hint") or 0)
+            except Exception:  # noqa: BLE001
+                out_of_hint = 0
+            if out_of_hint:
+                # raise BEFORE committing: the orphan data dir is vacuumed,
+                # the snapshot never references the partial write
+                raise ValueError(
+                    f"merge(touched=...) hint missed {out_of_hint} net rows "
+                    "outside the hinted buckets; the hint must be a superset "
+                    "of the batch's actual buckets"
+                )
         buckets = dict(commit["buckets"])
         for b in touched:
             bpath = os.path.join(out_dir, f"{BUCKET_COL}={b}")
@@ -350,6 +377,54 @@ class KeyedLakeTable:
             commit["version"] + 1, None, {}, commit["applied_batch_ids"],
             commit["payload_schema"],
         )
+
+    def compact_tombstones(self, older_than_seq: int) -> dict:
+        """Drop tombstones whose delete seq predates the out-of-order horizon.
+
+        Deletes of never-stored keys still materialize tombstone rows (see
+        ``operators.cdc_fold._step``) so a late out-of-order insert cannot
+        resurrect them; without compaction a stream carrying deletes for
+        unknown/foreign keys grows the table without bound.  Once the source
+        can no longer deliver events with ``seq < older_than_seq`` (e.g. the
+        CDC log's retention horizon), those tombstones' ordering guards can
+        never fire again and they are safe to drop.  Rewrites only buckets
+        that actually hold stale tombstones.
+        """
+        commit = self._current_commit()
+        stale = F.col(DELETED_COL) & (F.col(SEQ_COL) < int(older_than_seq))
+        full = self.read(include_tombstones=True).withColumn(
+            BUCKET_COL, self._bucket_expr()
+        )
+        hit = sorted(
+            r[0] for r in full.filter(stale).select(BUCKET_COL).distinct().collect()
+        )
+        if not hit:
+            return {"compacted_buckets": 0, "version": commit["version"]}
+        version = commit["version"] + 1
+        out_dir = os.path.join(self.root, "data", f"v{version:012d}")
+        kept = (
+            self.read(buckets=hit, include_tombstones=True)
+            .withColumn(BUCKET_COL, self._bucket_expr())
+            .filter(~stale)
+        )
+        (
+            kept.repartition(len(hit), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        buckets = dict(commit["buckets"])
+        for b in hit:
+            bpath = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.exists(bpath):
+                buckets[str(b)] = bpath
+            else:
+                buckets.pop(str(b), None)  # bucket held only stale tombstones
+        self._write_commit(
+            version, None, buckets, commit["applied_batch_ids"],
+            commit["payload_schema"],
+        )
+        return {"compacted_buckets": len(hit), "version": version}
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop data version dirs unreferenced by the last N snapshots."""

@@ -64,6 +64,9 @@ def _step(acc: Column, ev: Column, payload_type: T.StructType) -> Column:
         # carrying an OLDER insert cannot resurrect the key (the lake's
         # ordering guard compares against the tombstone seq).  Read-state
         # semantics are unchanged (reference: delete-missing is a no-op).
+        # Growth bound: tombstones for never-stored keys accumulate until
+        # KeyedLakeTable.compact_tombstones drops those older than the
+        # source's out-of-order horizon.
         is_del = ev["op"] == "delete"
         new_action = (
             F.when(is_ins | is_upd, F.lit(SET))

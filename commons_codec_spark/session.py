@@ -77,13 +77,26 @@ def get_spark(
     )
     # Shuffle/spill dir: prefer tmpfs — the local-mode analog of the local
     # NVMe a real executor would have.  A single virtual disk serializes
-    # shuffle I/O and masks CPU scaling entirely.
+    # shuffle I/O and masks CPU scaling entirely.  Gated: tmpfs capacity is
+    # RAM, so only use it when it actually has headroom (>= 8 GiB free), and
+    # allow forcing either way via SPARK_GRAFT_TMPFS=1/0 — a spill-heavy
+    # workload on a small /dev/shm must fall back to disk, not ENOSPC.
     shm = "/dev/shm/spark-local"
-    try:
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
-    except OSError:
-        pass
+    tmpfs_pref = os.environ.get("SPARK_GRAFT_TMPFS", "auto").lower()
+    use_tmpfs = tmpfs_pref in ("1", "true", "yes")
+    if tmpfs_pref == "auto":
+        try:
+            import shutil
+
+            use_tmpfs = shutil.disk_usage("/dev/shm").free >= 8 * 1024**3
+        except OSError:
+            use_tmpfs = False
+    if use_tmpfs:
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -86,6 +86,17 @@ class CDCPipeline:
         self.table = table
         self.cfg = config
         self.checkpoint_dir = checkpoint_dir
+        if config.handle_control and config.decoder is not None:
+            # handle_control scans the RAW batch for 'create-table'/
+            # 'drop-table' ops; a dialect decoder's batches carry the
+            # envelope column instead (no raw `op`), and its post-decode op
+            # vocabulary normalizes DDL to 'control' — the raw filter would
+            # either AnalysisException or silently route DDL to the DLQ.
+            raise ValueError(
+                "handle_control requires the default descriptor-image dialect; "
+                "custom decoders must surface DDL through their own control "
+                "column and apply it before fold (see SchemaRegistry)."
+            )
         self.registry = (
             registry
             or (checkpoint_dir and SchemaRegistry.load(checkpoint_dir))

@@ -76,6 +76,7 @@ def main() -> None:
         p.error("--events, --table and --checkpoint are required (or --selftest)")
 
     keys = args.keys.split(",")
+    image_columns = dict(SOURCE_CODE_COLUMNS)
     decoder = None
     if args.dialect == "dms":
         from commons_codec_spark.functions.dms import make_dms_decoder
@@ -86,9 +87,17 @@ def main() -> None:
     elif args.dialect == "mongodb":
         from commons_codec_spark.functions.mongodb import make_mongo_decoder
 
+        # Mongo documents are keyed on oid; the change-stream decoder emits
+        # oid + the payload columns below — image_columns must match that
+        # output exactly (the fold reads payload_cols from it), so repo/path
+        # are NOT payload here (they identify DynamoDB-dialect tables only).
         keys = ["oid"]
+        payload = {
+            c: m for c, m in SOURCE_CODE_COLUMNS.items() if c not in ("repo", "path")
+        }
+        image_columns = {"oid": "S", **payload}
         decoder = make_mongo_decoder(
-            {c: "string" for c in SOURCE_CODE_COLUMNS if c not in ("repo", "path")}
+            {c: ("bigint" if m == "N" else "string") for c, m in payload.items()}
         )
     if os.path.exists(os.path.join(args.table, "_meta.json")):
         table = KeyedLakeTable(spark, args.table)
@@ -103,7 +112,7 @@ def main() -> None:
         table,
         PipelineConfig(
             keys=keys,
-            image_columns=SOURCE_CODE_COLUMNS,
+            image_columns=image_columns,
             salt_chunks=args.salt_chunks,
             handle_control=args.handle_control,
             decoder=decoder,

@@ -1,0 +1,112 @@
+"""Safety-rail tests: merge hint enforcement, tombstone compaction,
+dialect/control-plane config validation.
+
+These guard the failure modes where a caller mistake would previously
+cause *silent* data loss or an obscure mid-stream AnalysisException.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+
+def _table(spark, tmp_path, n_buckets=8):
+    return KeyedLakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        key_schema={"k": "string"},
+        n_buckets=n_buckets,
+    )
+
+
+def _net(spark, rows):
+    """Minimal net-change frame: insert rows (aa=SET branch)."""
+    payload = "struct<v:bigint>"
+    df = spark.createDataFrame(rows, "k string, v long, seq long")
+    return df.select(
+        "k",
+        F.lit(1).alias("aa"),
+        F.struct(F.col("v")).alias("arow"),
+        F.col("seq").alias("aseq"),
+        F.lit(1).alias("pa"),
+        F.struct(F.col("v")).alias("prow"),
+        F.col("seq").alias("pseq"),
+    )
+
+
+def test_wrong_touched_hint_raises_instead_of_dropping(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    net = _net(spark, [(f"k{i}", i, 1) for i in range(20)])
+    all_buckets = [
+        r[0]
+        for r in net.withColumn("b", table._bucket_expr()).select("b").distinct().collect()
+    ]
+    assert len(all_buckets) > 1  # the bad hint below actually misses rows
+    v0 = table.version()
+    with pytest.raises(ValueError, match="hint missed"):
+        table.merge(net, batch_id=1, touched=all_buckets[:1])
+    # nothing was committed: version unchanged, batch not marked applied
+    assert table.version() == v0
+    assert 1 not in table.applied_batch_ids()
+    # a correct (superset) hint succeeds
+    m = table.merge(net, batch_id=1, touched=all_buckets + [99 % table.n_buckets])
+    assert not m["skipped"]
+    assert table.read().count() == 20
+
+
+def test_empty_touched_hint_falls_back_to_discovery(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    net = _net(spark, [("a", 1, 1), ("b", 2, 1)])
+    m = table.merge(net, batch_id=1, touched=[])
+    assert not m["skipped"] and m["touched_buckets"] >= 1
+    assert table.read().count() == 2
+
+
+def test_compact_tombstones_drops_only_stale(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    # two tombstones (deletes of never-seen keys) + one live row
+    net = spark.createDataFrame(
+        [("dead-old", 10), ("dead-new", 100)], "k string, seq long"
+    ).select(
+        "k",
+        F.lit(2).alias("aa"),
+        F.lit(None).cast("struct<v:bigint>").alias("arow"),
+        F.col("seq").alias("aseq"),
+        F.lit(2).alias("pa"),
+        F.lit(None).cast("struct<v:bigint>").alias("prow"),
+        F.col("seq").alias("pseq"),
+    )
+    table.merge(net, batch_id=1)
+    table.merge(_net(spark, [("live", 7, 50)]), batch_id=2)
+    assert table.read().count() == 1
+    assert table.read(include_tombstones=True).count() == 3
+
+    m = table.compact_tombstones(older_than_seq=50)
+    assert m["compacted_buckets"] >= 1
+    remaining = {
+        r.k for r in table.read(include_tombstones=True).select("k").collect()
+    }
+    assert remaining == {"dead-new", "live"}  # seq-10 tombstone gone
+    # idempotent: nothing stale left
+    again = table.compact_tombstones(older_than_seq=50)
+    assert again["compacted_buckets"] == 0
+    # the ordering guard still holds for the surviving tombstone: a stale
+    # insert (seq < 100) of the compacted-away horizon can't matter anymore,
+    # but one against dead-new must still lose
+    stale_ins = _net(spark, [("dead-new", 1, 99)])
+    table.merge(stale_ins, batch_id=3)
+    assert "dead-new" not in {r.k for r in table.read().select("k").collect()}
+
+
+def test_handle_control_rejects_custom_decoder(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    cfg = PipelineConfig(
+        keys=["k"],
+        image_columns={"k": "S", "v": "N"},
+        handle_control=True,
+        decoder=lambda df: df,
+    )
+    with pytest.raises(ValueError, match="handle_control"):
+        CDCPipeline(spark, table, cfg)
