@@ -56,10 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict:
     from commons_codec_spark.queries import CORE_QUERIES
+    from commons_codec_spark.queries_engine import ENGINE_QUERIES
     from commons_codec_spark.queries_extra import EXTRA_QUERIES
     from commons_codec_spark.queries_pipeline import PIPELINE_QUERIES
 
-    return {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES}
+    return {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **ENGINE_QUERIES}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -148,6 +148,36 @@ def decode_event(event: dict, strict_source: bool = True) -> dict:
     return record
 
 
+#: Expected eventSource of a DynamoDB Streams record (P2 guard).
+DYNAMODB_EVENT_SOURCE = "aws:dynamodb"
+
+#: DynamoDB Streams eventName -> normalized engine op.
+EVENT_NAME_MAP = {"INSERT": "insert", "MODIFY": "update", "REMOVE": "delete"}
+
+
+def normalize_event(
+    source: Column, event_name: Column, strict_source: bool = True
+) -> Column:
+    """Column form of the :func:`decode_event` guard (P2): the normalized op
+    for recognized ``(eventSource, eventName)`` pairs, NULL otherwise.
+
+    The reference *raises* on a foreign eventSource or unknown eventName
+    (``dynamodb.py:217-224`` via ``decode_event``); a 1000-executor stream
+    routes those rows to the DLQ instead — NULL op is the pipeline's
+    dead-letter marker (same contract as a NULL key).
+    """
+    op = None
+    for name, normalized in EVENT_NAME_MAP.items():
+        branch = F.when(event_name == name, F.lit(normalized))
+        op = branch if op is None else op.when(event_name == name, F.lit(normalized))
+    op = op.otherwise(F.lit(None).cast("string"))
+    if strict_source:
+        return F.when(source == DYNAMODB_EVENT_SOURCE, op).otherwise(
+            F.lit(None).cast("string")
+        )
+    return op
+
+
 # ---------------------------------------------------------------------------
 # Vectorized (Arrow / pandas UDF) path — arbitrary schemas, UNIVERSAL shape
 # ---------------------------------------------------------------------------

@@ -62,10 +62,16 @@ class MongoDecodeConfig:
         timestamp_to_epoch: bool = True,
         timestamp_to_iso8601: bool = False,
         timestamp_use_milliseconds: bool = True,
+        treatment=None,
     ):
         self.timestamp_to_epoch = timestamp_to_epoch
         self.timestamp_to_iso8601 = timestamp_to_iso8601
         self.timestamp_use_milliseconds = timestamp_use_milliseconds
+        #: Optional :class:`functions.treatment.Treatment`, applied to each
+        #: plain dict BEFORE its children decode — the reference's
+        #: ``apply_special_treatments`` position (``mongodb.py:84``), which
+        #: is what makes ``normalize_complex_lists`` stringify raw markers.
+        self.treatment = treatment
 
 
 DEFAULT_CONFIG = MongoDecodeConfig()
@@ -181,6 +187,8 @@ def decode_value(value: Any, config: MongoDecodeConfig = DEFAULT_CONFIG) -> Any:
     if isinstance(value, dict):
         if len(value) == 1 and next(iter(value)).startswith("$"):
             return decode_extended_json(value, config)
+        if config.treatment is not None:
+            value = config.treatment.apply(value)
         return {k: decode_value(v, config) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
         return [decode_value(v, config) for v in value]
@@ -240,12 +248,14 @@ MONGO_CDC_SCHEMA = T.StructType(
 )
 
 
-def decode_mongo_events_pandas(events_json: pd.Series) -> pd.DataFrame:
+def decode_mongo_events_pandas(
+    events_json: pd.Series, config: MongoDecodeConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
     """Arrow-batch kernel: change-stream event JSON -> (op, oid, record)."""
     out = {"op": [], "oid": [], "record": [], "error": []}
     for payload in events_json:
         try:
-            rec = decode_cdc_event(json.loads(payload))
+            rec = decode_cdc_event(json.loads(payload), config)
             if rec is None:  # drop/invalidate → skip row downstream
                 out["op"].append(None)
                 out["oid"].append(None)
@@ -271,6 +281,7 @@ def decode_mongo_events_pandas(events_json: pd.Series) -> pd.DataFrame:
 def make_mongo_decoder(
     payload_schema: dict[str, str],
     event_col: str = "event",
+    config: MongoDecodeConfig = DEFAULT_CONFIG,
 ):
     """Pipeline decoder for MongoDB change-stream envelopes (EP3).
 
@@ -286,7 +297,7 @@ def make_mongo_decoder(
     ddl = ", ".join(f"`{c}` {t}" for c, t in payload_schema.items())
 
     def decode(batch: DataFrame) -> DataFrame:
-        d = decode_mongo_cdc(batch, event_col)
+        d = decode_mongo_cdc(batch, event_col, config)
         d = d.filter(F.col("op").isNotNull() | F.col("error").isNotNull())
         rec = F.from_json(F.col("record"), ddl)
         keep = [c for c in d.columns if c != "record"]
@@ -295,14 +306,87 @@ def make_mongo_decoder(
     return decode
 
 
-def decode_mongo_cdc(df: DataFrame, event_col: str = "event") -> DataFrame:
+def decode_mongo_documents_pandas(
+    docs_json: pd.Series, config: MongoDecodeConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """Arrow-batch kernel: Extended-JSON document -> (oid, record).
+
+    Full-load shape (S5): no change-stream envelope, just documents; the
+    document key is the decoded ``_id`` (reference
+    ``MongoDBFullLoadTranslator.get_document_key`` + ``to_sql``,
+    ``/root/reference/src/commons_codec/transform/mongodb.py:244-269``).
+    The record keeps ``_id`` — the reference stores the full document in
+    the data column alongside the oid key.
+    """
+    out = {"oid": [], "record": [], "error": []}
+    for payload in docs_json:
+        try:
+            doc = decode_document(json.loads(payload), config)
+            oid = doc.get("_id")
+            if oid is None:
+                raise ValueError(f"Document key (_id) missing: {payload[:80]}")
+            out["oid"].append(str(oid))
+            out["record"].append(json.dumps(doc, separators=(",", ":"), sort_keys=True))
+            out["error"].append(None)
+        except Exception as exc:  # noqa: BLE001 — poison rows go to DLQ
+            out["oid"].append(None)
+            out["record"].append(None)
+            out["error"].append(f"{type(exc).__name__}: {exc}")
+    return pd.DataFrame(out)
+
+
+def make_mongo_full_load_decoder(
+    payload_schema: dict[str, str],
+    doc_col: str = "document",
+    config: MongoDecodeConfig = DEFAULT_CONFIG,
+):
+    """Full-load decoder for ``CDCPipeline.full_load(batch, decoder=...)``.
+
+    Takes a batch of raw Extended-JSON documents (one per row in
+    ``doc_col``), decodes them through the same lattice as the CDC path,
+    and lifts the fields in ``payload_schema`` into typed columns —
+    the Spark form of the reference's ``MongoDBFullLoadTranslator``
+    batch-INSERT (``mongodb.py:253-269``).  Poison documents surface with
+    ``oid`` NULL + ``error`` set (the pipeline's DLQ split).
+    """
+    ddl = ", ".join(f"`{c}` {t}" for c, t in payload_schema.items())
+
+    def decode(batch: DataFrame) -> DataFrame:
+        passthrough = [f for f in batch.schema.fields if f.name != doc_col]
+        out_schema = T.StructType(
+            list(passthrough)
+            + [
+                T.StructField("oid", T.StringType()),
+                T.StructField("record", T.StringType()),
+                T.StructField("error", T.StringType()),
+            ]
+        )
+
+        def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                decoded = decode_mongo_documents_pandas(pdf[doc_col], config)
+                decoded.index = pdf.index
+                yield pd.concat([pdf.drop(columns=[doc_col]), decoded], axis=1)
+
+        d = batch.mapInPandas(_map, schema=out_schema)
+        rec = F.from_json(F.col("record"), ddl)
+        keep = [c for c in d.columns if c != "record"]
+        return d.select(*keep, *[rec[c].alias(c) for c in payload_schema])
+
+    return decode
+
+
+def decode_mongo_cdc(
+    df: DataFrame, event_col: str = "event",
+    config: MongoDecodeConfig = DEFAULT_CONFIG,
+) -> DataFrame:
     """mapInPandas wrapper: decode a stream of change-stream event JSON."""
     passthrough = [f for f in df.schema.fields if f.name != event_col]
     out_schema = T.StructType(list(passthrough) + list(MONGO_CDC_SCHEMA.fields))
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = decode_mongo_events_pandas(pdf[event_col])
+            decoded = decode_mongo_events_pandas(pdf[event_col], config)
             decoded.index = pdf.index
             yield pd.concat([pdf.drop(columns=[event_col]), decoded], axis=1)
 

@@ -261,14 +261,15 @@ class KeyedLakeTable:
         if batch_id is not None and batch_id in commit["applied_batch_ids"]:
             return {"skipped": True, "batch_id": batch_id, "version": commit["version"]}
 
-        # --- additive schema evolution
+        # --- additive schema evolution (applied only if the batch actually
+        # carries rows — see below; an empty merge must not bake its decode
+        # schema into the commit, e.g. an empty pre-DDL segment whose column
+        # types a create-table event is about to change)
         payload_schema = dict(commit["payload_schema"])
         batch_fields = {
             f.name: f.dataType.simpleString()
             for f in net.schema["arow"].dataType.fields
         }
-        for c, t in batch_fields.items():
-            payload_schema.setdefault(c, t)
 
         # --- prune to touched buckets
         net = net.withColumn(BUCKET_COL, self._bucket_expr())
@@ -298,6 +299,9 @@ class KeyedLakeTable:
                 ).alias("out_of_hint"),
             )
             net = net.filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
+        if touched:
+            for c, t in batch_fields.items():
+                payload_schema.setdefault(c, t)
         current = self.read(buckets=touched, include_tombstones=True).withColumn(
             BUCKET_COL, self._bucket_expr()
         )

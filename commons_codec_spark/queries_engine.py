@@ -1,0 +1,294 @@
+"""Stateful-engine contract queries: full load, control-plane drop/reset,
+Mongo full load, the DynamoDB source guard, Tasmota state decode.
+
+These exercise the operators that previously had only pytest coverage
+(SURVEY.md §2 S4/S5, E7, P2, D11) through the *real* engine path — each
+query builds a throwaway lake table under a temp dir, drives the pipeline
+(full load / control events / CDC batch), reads the final snapshot back,
+and materializes it (``localCheckpoint``) so the temp dir can be removed
+before the driver collects.  The DuckDB oracle states the same final
+state in plain SQL over the shared testdata parquet.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from commons_codec_spark.functions.dynamodb import normalize_event
+from commons_codec_spark.functions.mongodb import make_mongo_full_load_decoder
+from commons_codec_spark.functions.telemetry import decode_telemetry
+from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _materialized(df: DataFrame, workdir: str) -> DataFrame:
+    """Evaluate eagerly, then drop the throwaway lake under ``workdir``."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# S4: full load (initial snapshot) followed by a CDC batch
+# ---------------------------------------------------------------------------
+#
+# customer rows are bulk-loaded as descriptor images at seq 0; a CDC batch
+# then updates every cid%3==0 (full-image replace, acct += 100000), deletes
+# every cid%7==0, and inserts fresh cid+1M keys for cid%11==0.  The final
+# snapshot must show load ∘ update ∘ delete ∘ insert in seq order — the
+# reference's FullLoad + CDC composition (``dynamodb.py:141-159,217-224``).
+
+
+_FL_IMG_COLUMNS = {"cid": "N", "name": "S", "acct_cents": "N"}
+
+
+def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cid = F.col("c_custkey").cast("long")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+
+    def image(cid_col, name_col, cents_col):
+        return F.format_string(
+            '{"cid":{"N":"%d"},"name":{"S":"%s"},"acct_cents":{"N":"%d"}}',
+            cid_col, name_col, cents_col,
+        )
+
+    keys_json = F.format_string('{"cid":{"N":"%d"}}', cid)
+    full = cust.select(image(cid, F.col("c_name"), cents).alias("image"))
+
+    upd = cust.filter(cid % 3 == 0).select(
+        F.lit("update").alias("op"), F.lit(1).cast("long").alias("commit_seq"),
+        keys_json.alias("keys_json"),
+        image(cid, F.col("c_name"), cents + 100000).alias("image"),
+    )
+    dele = cust.filter(cid % 7 == 0).select(
+        F.lit("delete").alias("op"), F.lit(2).cast("long").alias("commit_seq"),
+        keys_json.alias("keys_json"), F.lit(None).cast("string").alias("image"),
+    )
+    ins = cust.filter(cid % 11 == 0).select(
+        F.lit("insert").alias("op"), F.lit(1).cast("long").alias("commit_seq"),
+        F.format_string('{"cid":{"N":"%d"}}', cid + 1_000_000).alias("keys_json"),
+        image(
+            cid + 1_000_000, F.concat(F.lit("new-"), cid), F.lit(0).cast("long")
+        ).alias("image"),
+    )
+    cdc = upd.unionAll(dele).unionAll(ins)
+
+    work = tempfile.mkdtemp(prefix="ccs-flq-")
+    table = KeyedLakeTable.create(
+        spark, f"{work}/tbl", key_schema={"cid": "double"}, n_buckets=8
+    )
+    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    pipe = CDCPipeline(spark, table, cfg)
+    pipe.full_load(full, seq=0)
+    pipe.apply_batch(cdc, batch_id=1)
+    state = table.read().select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("name"),
+        F.col("acct_cents").cast("long").alias("acct_cents"),
+    )
+    return _materialized(state, work)
+
+
+SQL_FULL_LOAD_THEN_CDC = """
+SELECT c_custkey AS cid,
+       c_name AS name,
+       CAST(round(c_acctbal * 100)
+            + CASE WHEN c_custkey % 3 = 0 THEN 100000 ELSE 0 END AS BIGINT) AS acct_cents
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 1000000 AS cid,
+       'new-' || CAST(c_custkey AS VARCHAR) AS name,
+       CAST(0 AS BIGINT) AS acct_cents
+FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# E7: drop-table control event mid-stream resets the snapshot
+# ---------------------------------------------------------------------------
+#
+# One batch interleaves supplier inserts (seq = 2*suppkey) with a drop-table
+# control event at seq = max(suppkey).  Arrival-order semantics: inserts
+# before the drop are wiped, inserts at/after it survive (reference
+# ``aws_dms.py:172-178`` drop + segmented replay in streaming/pipeline.py).
+
+
+def q_control_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    drop_seq = int(sup.agg(F.max(sk)).first()[0])
+
+    data = sup.select(
+        F.lit("insert").alias("op"),
+        (sk * 2).alias("commit_seq"),
+        F.format_string('{"sk":{"N":"%d"}}', sk).alias("keys_json"),
+        F.format_string(
+            '{"sk":{"N":"%d"},"name":{"S":"%s"}}', sk, F.col("s_name")
+        ).alias("image"),
+    )
+    ctrl = spark.createDataFrame(
+        [("drop-table", drop_seq, None, None)],
+        "op string, commit_seq long, keys_json string, image string",
+    )
+    batch = data.unionAll(ctrl)
+
+    work = tempfile.mkdtemp(prefix="ccs-dropq-")
+    table = KeyedLakeTable.create(
+        spark, f"{work}/tbl", key_schema={"sk": "double"}, n_buckets=8
+    )
+    cfg = PipelineConfig(
+        keys=["sk"], image_columns={"sk": "N", "name": "S"}, handle_control=True
+    )
+    pipe = CDCPipeline(spark, table, cfg)
+    pipe.apply_batch(batch, batch_id=1)
+    state = table.read().select(
+        F.col("sk").cast("long").alias("sk"), F.col("name")
+    )
+    return _materialized(state, work)
+
+
+SQL_CONTROL_DROP_RESET = """
+SELECT s_suppkey AS sk, s_name AS name
+FROM supplier
+WHERE 2 * s_suppkey >= (SELECT MAX(s_suppkey) FROM supplier)
+"""
+
+
+# ---------------------------------------------------------------------------
+# S5: MongoDB full load — Extended-JSON documents, run twice (idempotent)
+# ---------------------------------------------------------------------------
+
+
+def q_mongo_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cid = F.col("c_custkey").cast("long")
+    oid = F.substring(F.md5(cid.cast("string")), 1, 24)
+    doc = F.format_string(
+        '{"_id":{"$oid":"%s"},"name":"%s","acct":{"$numberInt":"%d"},'
+        '"joined":{"$date":{"$numberLong":"%d"}}}',
+        oid, F.col("c_name"), F.round(F.col("c_acctbal") * 100).cast("long"),
+        cid * 1000,
+    )
+    docs = cust.select(doc.alias("document"))
+
+    work = tempfile.mkdtemp(prefix="ccs-mflq-")
+    table = KeyedLakeTable.create(
+        spark, f"{work}/tbl", key_schema={"oid": "string"}, n_buckets=8
+    )
+    cfg = PipelineConfig(
+        keys=["oid"],
+        image_columns={"oid": "S", "name": "S", "acct": "N", "joined": "N"},
+    )
+    pipe = CDCPipeline(spark, table, cfg)
+    dec = make_mongo_full_load_decoder(
+        {"name": "string", "acct": "bigint", "joined": "bigint"}
+    )
+    pipe.full_load(docs, decoder=dec, seq=0)
+    pipe.full_load(docs, decoder=dec, seq=0)  # re-run: ON CONFLICT DO NOTHING
+    state = table.read().select("oid", "name", "acct", "joined")
+    return _materialized(state, work)
+
+
+SQL_MONGO_FULL_LOAD = """
+SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 24) AS oid,
+       c_name AS name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acct,
+       CAST(c_custkey * 1000 AS BIGINT) AS joined
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2: DynamoDB event-source guard (foreign sources / unknown events -> DLQ)
+# ---------------------------------------------------------------------------
+
+
+def q_source_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    source = F.when(k % 13 == 0, F.lit("aws:kinesis")).otherwise(
+        F.lit("aws:dynamodb")
+    )
+    name = F.element_at(
+        F.array(F.lit("INSERT"), F.lit("MODIFY"), F.lit("REMOVE"), F.lit("BOGUS")),
+        (k % 4 + 1).cast("int"),
+    )
+    env = o.select(k.alias("okey"), source.alias("src"), name.alias("event_name"))
+    op = normalize_event(F.col("src"), F.col("event_name"))
+    return env.select(
+        "okey", op.alias("op_norm"), op.isNull().alias("is_dlq")
+    )
+
+
+SQL_SOURCE_GUARD = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 13 = 0 THEN NULL
+            WHEN o_orderkey % 4 = 0 THEN 'insert'
+            WHEN o_orderkey % 4 = 1 THEN 'update'
+            WHEN o_orderkey % 4 = 2 THEN 'delete'
+            ELSE NULL END AS op_norm,
+       (o_orderkey % 13 = 0 OR o_orderkey % 4 = 3) AS is_dlq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# D11: Tasmota state decode (fixed Device.* projection)
+# ---------------------------------------------------------------------------
+
+
+def q_tasmota_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    payload = F.format_string(
+        '{"Time":"%s","Vcc":%d,"Sleep":%d,"LoadAvg":%d,'
+        '"Wifi":{"Channel":%d,"RSSI":%d,"LinkCount":%d}}',
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("user_id") % 40, F.col("event_id") % 100, F.col("user_id") % 20,
+        F.col("user_id") % 11 + 1, -(F.col("user_id") % 60 + 30),
+        F.col("event_id") % 5,
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_telemetry(env, "tasmota_state", "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        F.translate(r["Time"], '"', "").alias("time_s"),
+        r["Device.Vcc"].cast("long").alias("vcc"),
+        r["Device.Sleep"].cast("long").alias("sleep"),
+        r["Device.LoadAvg"].cast("long").alias("loadavg"),
+        r["Device.Wifi.Channel"].cast("long").alias("wifi_channel"),
+        r["Device.Wifi.RSSI"].cast("long").alias("wifi_rssi"),
+        r["Device.Wifi.LinkCount"].cast("long").alias("wifi_links"),
+    )
+
+
+SQL_TASMOTA_STATE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
+       CAST(user_id % 40 AS BIGINT) AS vcc,
+       CAST(event_id % 100 AS BIGINT) AS sleep,
+       CAST(user_id % 20 AS BIGINT) AS loadavg,
+       CAST(user_id % 11 + 1 AS BIGINT) AS wifi_channel,
+       CAST(-(user_id % 60 + 30) AS BIGINT) AS wifi_rssi,
+       CAST(event_id % 5 AS BIGINT) AS wifi_links
+FROM events
+"""
+
+
+ENGINE_QUERIES = {
+    "cdc_full_load_then_cdc": (q_full_load_then_cdc, SQL_FULL_LOAD_THEN_CDC),
+    "cdc_control_drop_reset": (q_control_drop_reset, SQL_CONTROL_DROP_RESET),
+    "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),
+    "dynamodb_source_guard": (q_source_guard, SQL_SOURCE_GUARD),
+    "telemetry_tasmota_state": (q_tasmota_state, SQL_TASMOTA_STATE),
+}

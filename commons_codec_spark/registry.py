@@ -53,16 +53,48 @@ class SchemaRegistry:
 
     # -- control-event application ------------------------------------------------
 
+    def seed(
+        self,
+        schema: str,
+        table: str,
+        primary_keys: list[str] | None = None,
+        column_types: dict[str, str] | None = None,
+        ignore_ddl: bool | None = None,
+    ) -> TableState:
+        """Caller-provided schema knowledge (the reference's constructor
+        stores: PrimaryKeyStore / ColumnTypeMapStore / ignore_ddl,
+        ``aws_dms.py:431-445``).  Seeded state is also what ``drop-table``
+        restores, so it is recorded in the caller snapshot too.
+        """
+        state = self.get(schema, table)
+        if primary_keys is not None:
+            state.primary_keys = list(primary_keys)
+        if column_types is not None:
+            state.column_types.update(column_types)
+        if ignore_ddl is not None:
+            state.ignore_ddl = ignore_ddl
+        self._caller_seed[self.address(schema, table)] = copy.deepcopy(state)
+        return state
+
     def apply_create_table(
         self, schema: str, table: str, table_def: dict | None
     ) -> None:
-        """Learn primary keys / column types from a create-table control event."""
+        """Learn primary keys / column types from a create-table control event.
+
+        ``table-def`` carries ``primary-key`` (reference ``aws_dms.py:141``);
+        a ``column-types`` map ({column: "map"|"object"}) extends that so the
+        control plane can drive JSON re-parse (D8) end-to-end — the reference
+        keeps those annotations in a caller-side ColumnTypeMapStore only.
+        """
         state = self.get(schema, table)
         if state.ignore_ddl:
             return
         for pk in (table_def or {}).get("primary-key", []):
             if pk not in state.primary_keys:
                 state.primary_keys.append(pk)
+        for col, ctype in ((table_def or {}).get("column-types") or {}).items():
+            if ctype in ("map", "object"):
+                state.column_types[col] = ctype
         state.exists = True
 
     def apply_drop_table(self, schema: str, table: str) -> None:

@@ -69,6 +69,18 @@ class PipelineConfig:
     #: and the payload columns — e.g. :func:`make_mongo_decoder` for
     #: MongoDB change-stream envelopes (EP3).
     decoder: Callable[[DataFrame], DataFrame] | None = None
+    #: Skip DDL control events entirely (reference ``ignore_ddl`` /
+    #: SkipOperation, ``aws_dms.py:172-178``): neither the registry nor the
+    #: lake reacts to create-table / drop-table.
+    ignore_ddl: bool = False
+    #: Caller-seeded MAP/OBJECT column annotations ({column: "map"|"object"},
+    #: the reference's ColumnTypeMapStore).  Annotated string columns are
+    #: re-parsed from JSON after decode (D8, ``decode_data``,
+    #: ``aws_dms.py:207-224``); create-table control events can extend the
+    #: set at runtime (column-types in the table-def).
+    column_types: dict[str, str] | None = None
+    #: Spark DDL schema per re-parsed column (default ``map<string,string>``).
+    json_schemas: dict[str, str] | None = None
 
 
 class CDCPipeline:
@@ -102,9 +114,16 @@ class CDCPipeline:
             or (checkpoint_dir and SchemaRegistry.load(checkpoint_dir))
             or SchemaRegistry()
         )
-        # seed the registry with the declared schema
+        # seed the registry with the declared schema + caller-provided
+        # control-plane knowledge (column types, ignore_ddl)
         self.registry.note_columns(
             config.schema_name, config.table_name, list(config.image_columns)
+        )
+        self.registry.seed(
+            config.schema_name,
+            config.table_name,
+            column_types=config.column_types,
+            ignore_ddl=config.ignore_ddl,
         )
         self._image_columns = dict(config.image_columns)
         self.metrics: list[dict] = []
@@ -156,6 +175,10 @@ class CDCPipeline:
         """One DDL control event against the registry + lake (E6/E7)."""
         schema = row["schema_name"] if "schema_name" in row.__fields__ else self.cfg.schema_name
         table = row["table_name"] if "table_name" in row.__fields__ else self.cfg.table_name
+        if self.registry.get(schema, table).ignore_ddl:
+            # the reference raises SkipOperation here (``aws_dms.py:172-178``);
+            # in a stream we just don't act on the event
+            return
         if row["op"] == "create-table":
             table_def = None
             if "control_json" in row.__fields__ and row["control_json"]:
@@ -221,6 +244,18 @@ class CDCPipeline:
                 "image", F.coalesce(F.col("image"), F.col("keys_json"))
             )
             decoded = compile_direct_decoder(src, "image", self._image_columns)
+        # D8: re-parse MAP/OBJECT-annotated JSON-in-string columns, driven by
+        # the registry (caller-seeded and/or learned from create-table
+        # control events) — one from_json per annotated column, JVM-side
+        column_types = self.registry.get(
+            self.cfg.schema_name, self.cfg.table_name
+        ).column_types
+        if column_types:
+            from commons_codec_spark.functions.dms import reparse_object_columns
+
+            decoded = reparse_object_columns(
+                decoded, column_types, self.cfg.json_schemas or {}
+            )
 
         # DLQ: events whose key fields failed to decode.  Counted via an
         # Observation (piggybacks on the merge's own pass — no extra job);
@@ -290,19 +325,49 @@ class CDCPipeline:
 
     # ------------------------------------------------------------ full load
 
-    def full_load(self, batch: DataFrame, image_col: str = "image", seq: int = 0) -> dict:
+    def full_load(
+        self,
+        batch: DataFrame,
+        image_col: str = "image",
+        seq: int = 0,
+        decoder: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> dict:
         """Initial-snapshot ingest (S4/S5 — the reference's FullLoad
         translators, ``dynamodb.py:141-159`` / ``mongodb.py:253-269``).
 
-        ``batch`` carries one descriptor image per record; every record is
-        applied as an insert at ``seq`` through the normal fold+merge, so
-        re-running a full load is idempotent (ON CONFLICT DO NOTHING) and a
-        subsequent CDC stream with higher seqs wins over the loaded rows.
+        ``batch`` carries one record per row: a DynamoDB descriptor image in
+        ``image_col`` by default, or whatever ``decoder`` understands — e.g.
+        :func:`functions.mongodb.make_mongo_full_load_decoder` for a batch
+        of Extended-JSON documents (the MongoDB full-load dialect).  Every
+        record is applied as an insert at ``seq`` through the normal
+        fold+merge, so re-running a full load is idempotent (ON CONFLICT DO
+        NOTHING) and a subsequent CDC stream with higher seqs wins over the
+        loaded rows.  The transform hook applies here exactly as it does to
+        CDC batches (the reference's full-load Tikray path,
+        ``mongodb.py:56-59``).
         """
-        decoded = compile_direct_decoder(batch, image_col, self._image_columns)
+        if decoder is not None:
+            decoded = decoder(batch)
+        else:
+            decoded = compile_direct_decoder(batch, image_col, self._image_columns)
+        column_types = self.registry.get(
+            self.cfg.schema_name, self.cfg.table_name
+        ).column_types
+        if column_types:
+            from commons_codec_spark.functions.dms import reparse_object_columns
+
+            decoded = reparse_object_columns(
+                decoded, column_types, self.cfg.json_schemas or {}
+            )
+        if self.cfg.transform is not None:
+            decoded = self.cfg.transform(decoded)
         env = decoded.withColumn("op", F.lit("insert")).withColumn(
             self.cfg.seq_col, F.lit(seq).cast("long")
         )
+        # poison records decode with NULL keys — drop them (DLQ analog)
+        # instead of letting them merge under a null key
+        for k in self.cfg.keys:
+            env = env.filter(F.col(k).isNotNull())
         payload_cols = [c for c in self._image_columns if c not in self.cfg.keys]
         net = fold_net_changes(
             env, keys=self.cfg.keys, payload_cols=payload_cols,
