@@ -60,12 +60,12 @@ DELETED_COL = "__deleted"
 _MERGE_EXPR_CACHE: dict = {}
 
 
-def _merge_exprs(keys, payload_items, batch_fields, current_fields):
+def _merge_exprs(keys, payload_items, batch_fields, current_fields, n_buckets):
     """(filter_cond, select_cols) for the merge join output.
 
     All expressions reference the join's ``t``/``s`` aliases only.
     """
-    cache_key = (keys, payload_items, batch_fields, current_fields)
+    cache_key = (keys, payload_items, batch_fields, current_fields, n_buckets)
     hit = _MERGE_EXPR_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -81,7 +81,12 @@ def _merge_exprs(keys, payload_items, batch_fields, current_fields):
         .when(live, F.col("s.pa"))
         .otherwise(F.col("s.aa"))
     )
-    row = F.when(live, F.col("s.prow")).otherwise(F.col("s.arow"))
+    # compact net encoding (cdc_fold.fold_net_changes): one `row` serves
+    # both branches; `prow_extra` carries the present branch's row only in
+    # the rare divergent case (insert after update within one batch)
+    row = F.when(live, F.coalesce(F.col("s.prow_extra"), F.col("s.row"))).otherwise(
+        F.col("s.row")
+    )
     seq = F.when(live, F.col("s.pseq")).otherwise(F.col("s.aseq"))
     # ordering guard: stale changes lose to the stored row (cross-batch LWW)
     guard = F.when(~exists, F.lit(True)).otherwise(
@@ -101,14 +106,19 @@ def _merge_exprs(keys, payload_items, batch_fields, current_fields):
             .alias(c)
         )
 
+    key_cols = [F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")) for k in keys]
     select_cols = [
-        *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+        *[kc.alias(k) for kc, k in zip(key_cols, keys)],
         *[out_col(c, t) for c, t in payload_items],
         F.when(change, seq).otherwise(F.col(f"t.{SEQ_COL}")).alias(SEQ_COL),
         F.when(change, action == DELETE)
         .otherwise(F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False)))
         .alias(DELETED_COL),
-        F.col(BUCKET_COL),
+        # bucket is a pure function of the keys: recomputing it here (cheap
+        # hash) lets the join run on the keys ALONE, which reuses the fold's
+        # existing hash-partitioning — the net side enters the join with
+        # ZERO additional shuffle
+        F.pmod(F.xxhash64(*key_cols), n_buckets).alias(BUCKET_COL),
     ]
     out = (exists | change, select_cols)
     _MERGE_EXPR_CACHE[cache_key] = out
@@ -246,8 +256,9 @@ class KeyedLakeTable:
     def merge(self, net: DataFrame, batch_id=None, touched: list[int] | None = None) -> dict:
         """Apply per-key net changes; returns merge metrics.
 
-        ``net`` columns: keys + aa/arow/aseq/pa/prow/pseq (see cdc_fold).
-        New payload columns inside arow/prow widen the table schema.
+        ``net`` columns: keys + aa/aseq/pa/pseq/row/prow_extra (see
+        cdc_fold).  New payload columns inside ``row`` widen the table
+        schema.
 
         ``touched``: bucket ids the batch may modify.  When the caller can
         compute it cheaply upstream (the pipeline derives it from a keys-only
@@ -268,14 +279,14 @@ class KeyedLakeTable:
         payload_schema = dict(commit["payload_schema"])
         batch_fields = {
             f.name: f.dataType.simpleString()
-            for f in net.schema["arow"].dataType.fields
+            for f in net.schema["row"].dataType.fields
         }
 
         # --- prune to touched buckets
         net = net.withColumn(BUCKET_COL, self._bucket_expr())
         materialized = False
-        hint_obs = None
-        if touched is None or not touched:
+        hinted = touched is not None and bool(touched)
+        if not hinted:
             # persist + the touched-discovery collect doubles as the
             # materializing action: ONE job where checkpoint+distinct was two.
             # An EMPTY hint also lands here: trusting it would skip the write
@@ -285,36 +296,32 @@ class KeyedLakeTable:
             touched = sorted(r[0] for r in net.select(BUCKET_COL).distinct().collect())
         else:
             touched = sorted(set(int(b) for b in touched))
-            # the caller promised a superset; verify it on the same pass the
-            # write job makes — a wrong hint must FAIL, not silently drop
-            # changes (the filter below would otherwise eat them)
-            from pyspark.sql import Observation
-
-            self._hint_obs_n = getattr(self, "_hint_obs_n", 0) + 1
-            hint_obs = Observation(f"merge-hint-{self._hint_obs_n}")
-            net = net.observe(
-                hint_obs,
-                F.count(
-                    F.when(~F.col(BUCKET_COL).isin([int(b) for b in touched]), F.lit(1))
-                ).alias("out_of_hint"),
-            )
-            net = net.filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
+            # The caller promised a superset.  Net rows are NOT filtered to
+            # the hint: a violating row writes its (un-hinted) bucket dir,
+            # which the post-write check below turns into an error BEFORE
+            # the commit — a wrong hint must FAIL, never silently drop.
+            # (A filter+Observation guard would be one pass, but
+            # Observation.get deadlocks inside foreachBatch micro-batches;
+            # the filesystem check is free and works everywhere.)
         if touched:
             for c, t in batch_fields.items():
                 payload_schema.setdefault(c, t)
-        current = self.read(buckets=touched, include_tombstones=True).withColumn(
-            BUCKET_COL, self._bucket_expr()
-        )
+        current = self.read(buckets=touched, include_tombstones=True)
 
-        # --- merge join on keys (bucket-local; AQE handles skew split)
+        # --- merge join on the keys alone (bucket is derived from them, so
+        # including it adds no selectivity but forces the net side to
+        # re-shuffle; on keys only, Catalyst reuses the fold's window
+        # partitioning and only the `current` scan exchanges).  AQE handles
+        # skew split.
         joined = current.alias("t").join(
-            net.alias("s"), on=self.keys + [BUCKET_COL], how="full_outer"
+            net.drop(BUCKET_COL).alias("s"), on=self.keys, how="full_outer"
         )
         filter_cond, select_cols = _merge_exprs(
             tuple(self.keys),
             tuple(payload_schema.items()),
             frozenset(batch_fields),
             frozenset(commit["payload_schema"]),
+            self.n_buckets,
         )
         # deletes become tombstone rows (payload NULL, _seq = delete seq)
         result = joined.filter(filter_cond).select(*select_cols)
@@ -338,18 +345,21 @@ class KeyedLakeTable:
                 rows_written = int(obs.get.get("rows_written") or 0)
             except Exception:  # noqa: BLE001
                 rows_written = None
-        if hint_obs is not None:
-            try:
-                out_of_hint = int(hint_obs.get.get("out_of_hint") or 0)
-            except Exception:  # noqa: BLE001
-                out_of_hint = 0
-            if out_of_hint:
+        if hinted and touched:
+            written = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_dir)
+                if d.startswith(f"{BUCKET_COL}=")
+            }
+            extra = written - set(touched)
+            if extra:
                 # raise BEFORE committing: the orphan data dir is vacuumed,
-                # the snapshot never references the partial write
+                # the snapshot never references the partial write.  These
+                # buckets hold net rows the hint missed — their current rows
+                # were never read, so committing would clobber them.
                 raise ValueError(
-                    f"merge(touched=...) hint missed {out_of_hint} net rows "
-                    "outside the hinted buckets; the hint must be a superset "
-                    "of the batch's actual buckets"
+                    f"merge(touched=...) hint missed buckets {sorted(extra)}: "
+                    "the hint must be a superset of the batch's actual buckets"
                 )
         buckets = dict(commit["buckets"])
         for b in touched:

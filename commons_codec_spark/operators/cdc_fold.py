@@ -245,26 +245,38 @@ def _fold_closed_form(
     presence_a = F.coalesce(F.col("__final_insdel") == "insert", F.lit(False))
     presence_p = F.coalesce(F.col("__final_insdel") == "insert", F.lit(True))
     null_row = F.lit(None).cast(_payload_struct(events, payload_cols))
+    pa_set = presence_p & F.col("__pset_seq").isNotNull()
+    aseq = F.coalesce(
+        F.when(presence_a, F.col("__aset_seq")).otherwise(F.col("__adel_seq")),
+        F.lit(-1).cast("long"),
+    )
+    pseq = F.coalesce(
+        F.when(~presence_p, F.col("__pdel_seq")).otherwise(F.col("__pset_seq")),
+        F.lit(-1).cast("long"),
+    )
+    # Compact row encoding (see fold_net_changes): ONE payload struct per key
+    # plus a rarely-non-null present-branch extra.  aa==SET ⟺ presence_a,
+    # and then __arow is the absent branch's row; the branches' rows can
+    # only differ when their last effective sets are different events, i.e.
+    # different seqs (an out-of-order insert after updates in one batch).
+    divergent = presence_a & pa_set & (F.col("__aset_seq") != F.col("__pset_seq"))
     return agg.select(
         *keys,
         F.when(presence_a, F.lit(SET))
         .when(F.col("__adel_seq").isNotNull(), F.lit(DELETE))
         .otherwise(F.lit(KEEP))
         .alias("aa"),
-        F.when(presence_a, F.col("__arow")).otherwise(null_row).alias("arow"),
-        F.coalesce(
-            F.when(presence_a, F.col("__aset_seq")).otherwise(F.col("__adel_seq")),
-            F.lit(-1).cast("long"),
-        ).alias("aseq"),
+        aseq.alias("aseq"),
         F.when(~presence_p, F.lit(DELETE))
         .when(F.col("__pset_seq").isNotNull(), F.lit(SET))
         .otherwise(F.lit(KEEP))
         .alias("pa"),
-        F.when(presence_p, F.col("__prow")).otherwise(null_row).alias("prow"),
-        F.coalesce(
-            F.when(~presence_p, F.col("__pdel_seq")).otherwise(F.col("__pset_seq")),
-            F.lit(-1).cast("long"),
-        ).alias("pseq"),
+        pseq.alias("pseq"),
+        F.when(presence_a, F.col("__arow"))
+        .when(pa_set, F.col("__prow"))
+        .otherwise(null_row)
+        .alias("row"),
+        F.when(divergent, F.col("__prow")).otherwise(null_row).alias("prow_extra"),
     )
 
 
@@ -278,7 +290,15 @@ def fold_net_changes(
 ) -> DataFrame:
     """Collapse events into one net-change row per key.
 
-    Returns ``keys + [aa, arow, aseq, pa, prow, pseq]``.
+    Returns ``keys + [aa, aseq, pa, pseq, row, prow_extra]``: the two
+    branch actions/seqs plus a **single** payload struct.  ``row`` is the
+    absent branch's row when ``aa == SET``, else the present branch's when
+    ``pa == SET``.  The branches carry different rows only when an insert
+    arrives after updates of the same key within one batch (out-of-order
+    redelivery) — then ``prow_extra`` holds the present branch's row, NULL
+    otherwise.  One payload copy instead of two halves the net-change
+    bytes shuffled into the merge join (the payload — source-code content —
+    dominates row width).
 
     Default path: the closed-form window+max_by fold
     (:func:`_fold_closed_form` — codegen, partial aggregation).
@@ -313,12 +333,19 @@ def fold_net_changes(
         # Phase 2: compose chunk states in chunk order per key.
         out = partial.groupBy(*keys).agg(_compose_agg(ptype))
 
+    s = F.col("__state")
+    aa, pa = s["aa"], s["pa"]
+    divergent = (aa == SET) & (pa == SET) & (s["aseq"] != s["pseq"])
+    null_row = F.lit(None).cast(ptype)
     return out.select(
         *keys,
-        F.col("__state.aa").alias("aa"),
-        F.col("__state.arow").alias("arow"),
-        F.col("__state.aseq").alias("aseq"),
-        F.col("__state.pa").alias("pa"),
-        F.col("__state.prow").alias("prow"),
-        F.col("__state.pseq").alias("pseq"),
+        aa.alias("aa"),
+        s["aseq"].alias("aseq"),
+        pa.alias("pa"),
+        s["pseq"].alias("pseq"),
+        F.when(aa == SET, s["arow"])
+        .when(pa == SET, s["prow"])
+        .otherwise(null_row)
+        .alias("row"),
+        F.when(divergent, s["prow"]).otherwise(null_row).alias("prow_extra"),
     )

@@ -177,6 +177,91 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + probe-local cell scan.
+
+    Index build: a deterministic centroid subset (``vec_id % centroid_mod
+    == 0`` — the stand-in for k-means training; a real deployment plugs
+    learned centroids into the same shape) is broadcast, and every corpus
+    vector is assigned to its nearest centroid by **exact integer L2**
+    (argmin over (dist², centroid_id) — engine-portable, no float ties).
+    Query: each probe ranks the same centroids and scans only its
+    ``nprobe`` nearest cells.
+
+    Scale shape (100 TB): assignment is a broadcast nested-loop over
+    N×C done once at index-build time (C ≈ √N for real IVF); the query
+    join shuffles on cell id only, expected per-probe work
+    ``nprobe · N/C``.  Complements :func:`lsh_topk` — IVF adapts to the
+    data distribution where hyperplane LSH is data-oblivious.
+    """
+    q = quantize(F.col(vec_col))
+    corpus = vectors.select(
+        F.col(id_col).alias("neighbor_id"), q.alias("qv")
+    ).localCheckpoint()
+    probe = probes.select(
+        F.col(id_col).alias("probe_id"), q.alias("pv")
+    ).localCheckpoint()
+    cents = F.broadcast(
+        corpus.filter(F.col("neighbor_id") % centroid_mod == 0).select(
+            F.col("neighbor_id").alias("cid"), F.col("qv").alias("cv")
+        )
+    )
+
+    def dist2(v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, F.col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    # corpus cell = argmin centroid: hash-agg min over (dist2, cid) structs
+    # (map-side combine; no window sort over the N×C expansion)
+    assigned = (
+        corpus.join(cents)
+        .groupBy("neighbor_id")
+        .agg(
+            F.min(F.struct(dist2(F.col("qv")).alias("d"), F.col("cid").alias("cid")))[
+                "cid"
+            ].alias("cell"),
+            F.first("qv").alias("qv"),
+        )
+        .withColumn("n2", int_norm2(F.col("qv")))
+    )
+    pw = Window.partitionBy("probe_id").orderBy("d", "cid")
+    probe_cells = (
+        probe.join(cents)
+        .select("probe_id", "pv", F.col("cid"), dist2(F.col("pv")).alias("d"))
+        .withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", "pv", F.col("cid").alias("cell"))
+        .withColumn("p2", int_norm2(F.col("pv")))
+    )
+    pairs = assigned.join(F.broadcast(probe_cells), on="cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    dot = int_dot(F.col("pv"), F.col("qv"))
+    scored = pairs.select(
+        "probe_id",
+        "neighbor_id",
+        cos2_score(dot, F.col("p2"), F.col("n2")).alias("cos2_bp"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos2_bp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cos2_bp")
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold_bp: int = 9000,

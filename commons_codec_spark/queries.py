@@ -106,10 +106,10 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return net.filter(F.col("aa") == SET).select(
         F.col("okey").cast("long").alias("okey"),
         F.col("lineno").cast("long").alias("lineno"),
-        F.col("arow.commit_sha").alias("commit_sha"),
-        F.col("arow.qty").cast("long").alias("qty"),
-        F.col("arow.price_cents").cast("long").alias("price_cents"),
-        F.col("arow.flag").alias("flag"),
+        F.col("row.commit_sha").alias("commit_sha"),
+        F.col("row.qty").cast("long").alias("qty"),
+        F.col("row.price_cents").cast("long").alias("price_cents"),
+        F.col("row.flag").alias("flag"),
     )
 
 

@@ -298,6 +298,71 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    probes = embs.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(
+        embs, probes, dim=64, k=5, centroid_mod=50, nprobe=2
+    )
+
+
+_SQL_Q_QUANT = """
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+"""
+
+SQL_IVF_TOPK = f"""
+WITH q AS ({_SQL_Q_QUANT}),
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id % 50 = 0),
+dists AS (
+    SELECT q.vec_id, c.cid,
+           list_aggregate(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum') AS d
+    FROM q, c
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+),
+cell AS (
+    SELECT q.vec_id AS neighbor_id, r.cid AS cell, q.qv,
+           list_aggregate(list_transform(q.qv, x -> x * x), 'sum') AS n2
+    FROM q JOIN ranked r ON r.vec_id = q.vec_id AND r.rn = 1
+),
+pcell AS (
+    SELECT q.vec_id AS probe_id, r.cid AS cell, q.qv AS pv,
+           list_aggregate(list_transform(q.qv, x -> x * x), 'sum') AS p2
+    FROM q JOIN ranked r ON r.vec_id = q.vec_id AND r.rn <= 2
+    WHERE q.vec_id % 100 = 0
+),
+pairs AS (
+    SELECT p.probe_id, c.neighbor_id,
+           list_aggregate(list_transform(range(1, 65),
+               i -> p.pv[i] * c.qv[i]), 'sum') AS dot,
+           p.p2, c.n2
+    FROM pcell p JOIN cell c ON p.cell = c.cell
+    WHERE p.probe_id <> c.neighbor_id
+),
+scored AS (
+    SELECT probe_id, neighbor_id,
+           CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END *
+                FLOOR(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 10000.0 /
+                      greatest(CAST(p2 AS DOUBLE) * CAST(n2 AS DOUBLE), 1.0))
+                AS BIGINT) AS cos2_bp
+    FROM pairs
+)
+SELECT probe_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos2_bp DESC, neighbor_id ASC) AS INT) AS rank,
+       cos2_bp
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings (as double) + near-copies (id%20==0, +1M, scaled ×1.02 —
     cosine ≈ 1 modulo quantization)."""
@@ -583,6 +648,7 @@ EXTRA_QUERIES = {
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
+    "similarity_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
     "dms_envelope_decode": (q_dms_envelope_decode, SQL_DMS_ENVELOPE),

@@ -81,6 +81,12 @@ class PipelineConfig:
     column_types: dict[str, str] | None = None
     #: Spark DDL schema per re-parsed column (default ``map<string,string>``).
     json_schemas: dict[str, str] | None = None
+    #: Derive the merge's touched-bucket hint from a keys-only pre-scan so
+    #: the decode→fold→join→write chain runs as one lazy job.  False falls
+    #: back to materializing the (compact) fold output and discovering the
+    #: buckets from it — cheaper when batches are small or keys_json is
+    #: expensive to re-scan.
+    touched_hint: bool = True
 
 
 class CDCPipeline:
@@ -257,34 +263,75 @@ class CDCPipeline:
                 decoded, column_types, self.cfg.json_schemas or {}
             )
 
-        # DLQ: events whose key fields failed to decode.  Counted via an
-        # Observation (piggybacks on the merge's own pass — no extra job);
-        # rows are only materialized separately when a DLQ sink is set.
+        # DLQ: events whose key fields failed to decode are filtered out
+        # (written to dlq_dir when configured) and counted in the lineage
+        # metrics below.
         key_ok = None
         for k in self.cfg.keys:
             cond = F.col(k).isNotNull()
             key_ok = cond if key_ok is None else (key_ok & cond)
-        self._obs_n = getattr(self, "_obs_n", 0) + 1
-        obs = Observation(f"dlq-{batch_id}-{self._obs_n}")
-        # count(), not sum(): over an empty batch sum() yields a NULL metric
-        # row that PythonSQLUtils.toPyRow refuses to convert.  The op
-        # histogram + lineage counters piggyback on the same Observation —
-        # zero extra jobs (north rule: per-batch lineage + throughput).
-        op = F.col("op")
-        decoded = decoded.observe(
-            obs,
-            F.count(F.when(~key_ok, F.lit(1))).alias("dlq_rows"),
-            F.count(F.lit(1)).alias("events"),
-            F.count(F.when(op == "insert", F.lit(1))).alias("op_insert"),
-            F.count(F.when(op == "update", F.lit(1))).alias("op_update"),
-            F.count(F.when(op == "delete", F.lit(1))).alias("op_delete"),
-        )
         if self.cfg.dlq_dir:
             decoded.filter(~key_ok).write.mode("append").parquet(self.cfg.dlq_dir)
+
+        # Touched-bucket hint + lineage metrics in ONE tiny aggregation over
+        # a keys-only scan of `keys_json` (parquet reads one small column;
+        # no window/fold).  With the hint, `net` stays LAZY and the whole
+        # decode→fold→join→write chain executes as ONE job (no persist
+        # barrier; the join reuses the fold's partitioning).  keys_json is
+        # authoritative on every DynamoDB-stream event (the `Keys` field);
+        # a malformed envelope whose image keys disagree fails loudly in
+        # merge's hint check rather than dropping rows.
+        #
+        # Metrics ride on this pass rather than an Observation on `decoded`:
+        # a CollectMetrics node below the merge join never delivers inside a
+        # foreachBatch micro-batch (Observation.get deadlocks), while an
+        # explicit one-row agg works everywhere.
+        touched = None
+        observed: dict = {}
+        op = F.col("op")
+        t_hint = time.time()
+        if self.cfg.decoder is None and self.cfg.touched_hint:
+            key_cols = {k: self._image_columns[k] for k in self.cfg.keys}
+            kd = compile_direct_decoder(
+                batch.select("op", "keys_json"), "keys_json", key_cols
+            )
+            kd_ok = None
+            for k in self.cfg.keys:
+                cond = F.col(k).isNotNull()
+                kd_ok = cond if kd_ok is None else (kd_ok & cond)
+            bucket = self.table.bucket_of(*[F.col(k) for k in self.cfg.keys])
+            row = kd.agg(
+                F.count(F.lit(1)).alias("events"),
+                F.count(F.when(~kd_ok, F.lit(1))).alias("dlq_rows"),
+                F.count(F.when(op == "insert", F.lit(1))).alias("op_insert"),
+                F.count(F.when(op == "update", F.lit(1))).alias("op_update"),
+                F.count(F.when(op == "delete", F.lit(1))).alias("op_delete"),
+                F.collect_set(F.when(kd_ok, bucket)).alias("buckets"),
+            ).first()
+            touched = sorted(b for b in row["buckets"] if b is not None)
+            observed = {
+                k: int(row[k] or 0)
+                for k in ("events", "dlq_rows", "op_insert", "op_update", "op_delete")
+            }
+        else:
+            # persist-path metrics: an Observation on the decoded batch —
+            # delivered by the materializing collect inside merge().
+            # count(), not sum(): over an empty batch sum() yields a NULL
+            # metric row that PythonSQLUtils.toPyRow refuses to convert.
+            self._obs_n = getattr(self, "_obs_n", 0) + 1
+            obs = Observation(f"dlq-{batch_id}-{self._obs_n}")
+            decoded = decoded.observe(
+                obs,
+                F.count(F.when(~key_ok, F.lit(1))).alias("dlq_rows"),
+                F.count(F.lit(1)).alias("events"),
+                F.count(F.when(op == "insert", F.lit(1))).alias("op_insert"),
+                F.count(F.when(op == "update", F.lit(1))).alias("op_update"),
+                F.count(F.when(op == "delete", F.lit(1))).alias("op_delete"),
+            )
+
         good = decoded.filter(key_ok)
         if self.cfg.transform is not None:
             good = self.cfg.transform(good)
-
         payload_cols = [c for c in self._image_columns if c not in self.cfg.keys]
         net = fold_net_changes(
             good,
@@ -293,14 +340,15 @@ class CDCPipeline:
             seq_col=self.cfg.seq_col,
             salt_chunks=self.cfg.salt_chunks,
         )
-        # merge materializes the fold (compact columnar) before joining:
-        # measured faster than a fully-lazy single-job merge, whose
-        # sort-merge join re-sorts the whole uncompacted decode stream.
-        merge_metrics = self.table.merge(net, batch_id=batch_id)
-        try:
-            observed = {k: int(v or 0) for k, v in obs.get.items()}
-        except Exception:  # noqa: BLE001 — observation row absent (empty plan)
-            observed = {}
+        t_merge = time.time()
+        merge_metrics = self.table.merge(net, batch_id=batch_id, touched=touched)
+        merge_metrics["hint_sec"] = round(t_merge - t_hint, 3)
+        merge_metrics["merge_sec"] = round(time.time() - t_merge, 3)
+        if not observed and touched is None:
+            try:
+                observed = {k: int(v or 0) for k, v in obs.get.items()}
+            except Exception:  # noqa: BLE001 — observation row absent (empty plan)
+                observed = {}
 
         if self.checkpoint_dir and batch_id is not None:
             self.registry.save(self.checkpoint_dir, batch_id)

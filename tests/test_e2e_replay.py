@@ -163,7 +163,7 @@ def test_extreme_hot_key_skew(spark, tmp_path):
     def canon(d):
         return sorted(
             (r.repo, r.path, r.aa, r.aseq, r.pa, r.pseq,
-             tuple(r.arow) if r.arow else None)
+             tuple(r.row) if r.row else None)
             for r in d.collect()
         )
 

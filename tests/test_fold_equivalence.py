@@ -58,16 +58,29 @@ def test_closed_form_fold_equals_sequential_fold(spark):
     )
     new = _fold_closed_form(df, ["repo", "path"], payload, "commit_seq", "op")
 
-    def canon(d):
-        return {
-            (r.repo, r.path): (
-                r.aa, tuple(r.arow) if r.arow else None, r.aseq,
-                r.pa, tuple(r.prow) if r.prow else None, r.pseq,
-            )
-            for r in d.collect()
-        }
+    def compact_from_state(r):
+        """Derive the compact (row, prow_extra) encoding from the full
+        two-branch state — the contract fold_net_changes now emits."""
+        arow = tuple(r.arow) if r.arow else None
+        prow = tuple(r.prow) if r.prow else None
+        row = arow if r.aa == 1 else (prow if r.pa == 1 else None)
+        extra = prow if (r.aa == 1 and r.pa == 1 and r.aseq != r.pseq) else None
+        return (r.aa, r.aseq, r.pa, r.pseq, row, extra)
 
-    left, right = canon(legacy), canon(new)
+    left = {(r.repo, r.path): compact_from_state(r) for r in legacy.collect()}
+    right = {
+        (r.repo, r.path): (
+            r.aa, r.aseq, r.pa, r.pseq,
+            tuple(r.row) if r.row else None,
+            tuple(r.prow_extra) if r.prow_extra else None,
+        )
+        for r in new.collect()
+    }
     assert left.keys() == right.keys()
     mismatches = {k: (left[k], right[k]) for k in left if left[k] != right[k]}
     assert not mismatches, f"{len(mismatches)} mismatching keys: {list(mismatches.items())[:3]}"
+    # the encoding must exercise both the shared-row and the divergent case
+    assert any(v[4] is not None for v in right.values())
+    assert any(v[5] is not None for v in right.values()), (
+        "no divergent (prow_extra) case in the exhaustive sweep"
+    )

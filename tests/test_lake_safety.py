@@ -23,16 +23,15 @@ def _table(spark, tmp_path, n_buckets=8):
 
 def _net(spark, rows):
     """Minimal net-change frame: insert rows (aa=SET branch)."""
-    payload = "struct<v:bigint>"
     df = spark.createDataFrame(rows, "k string, v long, seq long")
     return df.select(
         "k",
         F.lit(1).alias("aa"),
-        F.struct(F.col("v")).alias("arow"),
         F.col("seq").alias("aseq"),
         F.lit(1).alias("pa"),
-        F.struct(F.col("v")).alias("prow"),
         F.col("seq").alias("pseq"),
+        F.struct(F.col("v")).alias("row"),
+        F.lit(None).cast("struct<v:bigint>").alias("prow_extra"),
     )
 
 
@@ -72,11 +71,11 @@ def test_compact_tombstones_drops_only_stale(spark, tmp_path):
     ).select(
         "k",
         F.lit(2).alias("aa"),
-        F.lit(None).cast("struct<v:bigint>").alias("arow"),
         F.col("seq").alias("aseq"),
         F.lit(2).alias("pa"),
-        F.lit(None).cast("struct<v:bigint>").alias("prow"),
         F.col("seq").alias("pseq"),
+        F.lit(None).cast("struct<v:bigint>").alias("row"),
+        F.lit(None).cast("struct<v:bigint>").alias("prow_extra"),
     )
     table.merge(net, batch_id=1)
     table.merge(_net(spark, [("live", 7, 50)]), batch_id=2)

@@ -91,6 +91,21 @@ def test_lsh_topk_recall(vectors):
     assert any(p == 0 and n == 7 for p, n in a)
 
 
+def test_ivf_topk_recall(vectors):
+    probes = vectors.filter(F.col("vec_id") % 4 == 0)
+    exact = similarity.brute_force_topk(vectors, probes, k=3)
+    approx = similarity.ivf_topk(
+        vectors, probes, dim=8, k=3, centroid_mod=3, nprobe=2
+    )
+    e = {(r.probe_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4  # coarse cells on toy data
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r.probe_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
 def test_cosine_near_dup_pairs(vectors):
     pairs = similarity.cosine_near_dup_pairs(vectors, threshold_bp=9900, dim=8, n_bits=2)
     got = {(r.a, r.b) for r in pairs.collect()}
