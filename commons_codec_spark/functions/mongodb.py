@@ -3,7 +3,8 @@
 Reproduces the semantics of the reference's converter
 (``/root/reference/src/commons_codec/transform/mongodb.py:67-187``) without
 pymongo/bson (not available here): the canonical Extended JSON subset is
-decoded directly from the public spec
+decoded directly from the public spec, and live bson objects (pymongo
+cursors) are duck-typed by class name in :func:`decode_bson_native`
 (https://www.mongodb.com/docs/manual/reference/mongodb-extended-json/),
 validated against the reference's golden pairs
 (``tests/transform/mongodb/data.py:15-224`` — the ``canonical`` section).
@@ -182,8 +183,51 @@ def decode_extended_json(value: dict, config: MongoDecodeConfig = DEFAULT_CONFIG
     return {marker: decode_value(payload, config)}
 
 
+def decode_bson_native(value: Any, config: MongoDecodeConfig) -> Any:
+    """Native bson/python object -> decoded value (D4, best effort).
+
+    The reference's ``decode_bson`` receives live pymongo objects
+    (``/root/reference/src/commons_codec/transform/mongodb.py:89-113``).
+    pymongo isn't installed in this environment, so bson classes are
+    duck-typed by class name — against a real pymongo cursor the same
+    dispatch applies; returns a sentinel when nothing matches.
+    """
+    if type(value) is bytes:  # raw bytes; bson Binary (a bytes subclass)
+        return base64.b64encode(value).decode()  # dispatches by name below
+    if isinstance(value, uuid.UUID):
+        return str(value)
+    name = type(value).__name__
+    if name == "ObjectId":
+        return str(value)
+    if name == "Int64":
+        return str(int(value))
+    if name in ("Decimal128", "Decimal"):
+        return str(value)
+    if name == "Timestamp":  # bson Timestamp(t, i)
+        return _decode_datetime(int(value.time) * 1000, config)
+    if name == "Binary":
+        raw = bytes(value)
+        if getattr(value, "subtype", 0) == 4:
+            return str(uuid.UUID(bytes=raw))
+        return base64.b64encode(raw).decode()
+    if name == "Regex":
+        return f"Regex('{value.pattern}', {value.flags})"
+    if name in ("Symbol", "Code"):
+        return str(value)
+    if name == "MinKey":
+        return "MinKey()"
+    if name == "MaxKey":
+        return "MaxKey()"
+    return _NO_BSON_MATCH
+
+
+_NO_BSON_MATCH = object()
+
+
 def decode_value(value: Any, config: MongoDecodeConfig = DEFAULT_CONFIG) -> Any:
-    """Recursive Extended JSON walk (``mongodb.py:67-87``)."""
+    """Recursive Extended JSON walk (``mongodb.py:67-87``), accepting both
+    the canonical wire form (``$``-marker dicts) and native bson/python
+    objects (pymongo cursors, D4)."""
     if isinstance(value, dict):
         if len(value) == 1 and next(iter(value)).startswith("$"):
             return decode_extended_json(value, config)
@@ -203,6 +247,9 @@ def decode_value(value: Any, config: MongoDecodeConfig = DEFAULT_CONFIG) -> Any:
             + value.microsecond // 1000,
             config,
         )
+    native = decode_bson_native(value, config)
+    if native is not _NO_BSON_MATCH:
+        return native
     return value
 
 

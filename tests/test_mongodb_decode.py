@@ -130,3 +130,77 @@ def test_vectorized_mongo_decode(spark):
     assert out[0].op == "insert" and json.loads(out[0].record) == {"_id": "a1", "x": 7}
     assert out[1].op is None and out[1].error is None  # skipped drop
     assert out[2].error is not None  # poison -> DLQ
+
+
+def test_native_bson_duck_typed_decode():
+    """D4 native-object path: bson classes duck-typed by name (pymongo not
+    installed here — stand-ins share the class names and attributes the
+    dispatch reads; a live pymongo cursor hits the same branches).
+    Expectations mirror reference `decode_bson` goldens
+    (`tests/transform/mongodb/data.py`, the `bson` section)."""
+    import decimal
+    import uuid as _uuid
+
+    class ObjectId:
+        def __str__(self):
+            return "56027fcae4b09385a85f9344"
+
+    class Int64(int):
+        pass
+
+    class Decimal128:
+        def __str__(self):
+            return "-1.2345678921232E+18"
+
+    class Timestamp:
+        time = 1455141155
+
+    class Binary(bytes):
+        subtype = 0
+
+    class MinKey:
+        pass
+
+    class MaxKey:
+        pass
+
+    class Regex:
+        pattern, flags = "^foo", 2
+
+    doc = {
+        "_id": ObjectId(),
+        "big": Int64(42),
+        "dec": Decimal128(),
+        "ts": Timestamp(),
+        "bin": Binary(b"bar"),
+        "raw": b"baz",
+        "uid": _uuid.UUID("d575540f-759d-4653-a5c7-4f9f704861d5"),
+        "lo": MinKey(),
+        "hi": MaxKey(),
+        "re": Regex(),
+        "py_dec": decimal.Decimal("42.42"),
+    }
+    out = mdb.decode_document(doc)
+    assert out == {
+        "_id": "56027fcae4b09385a85f9344",
+        "big": "42",
+        "dec": "-1.2345678921232E+18",
+        "ts": 1455141155000,
+        "bin": "YmFy",
+        "raw": "YmF6",
+        "uid": "d575540f-759d-4653-a5c7-4f9f704861d5",
+        "lo": "MinKey()",
+        "hi": "MaxKey()",
+        "re": "Regex('^foo', 2)",
+        "py_dec": "42.42",
+    }
+
+
+def test_native_binary_subtype4_is_uuid():
+    class Binary(bytes):
+        subtype = 4
+
+    raw = b"\xd5u T\x0fu\x9dFS\xa5\xc7O\x9fpHa"
+    # 16 bytes -> canonical UUID string
+    out = mdb.decode_value(Binary(b"\xd5\x75\x54\x0f\x75\x9d\x46\x53\xa5\xc7\x4f\x9f\x70\x48\x61\xd5"))
+    assert out == "d575540f-759d-4653-a5c7-4f9f704861d5"
