@@ -172,6 +172,13 @@ class KeyedLakeTable:
         with open(os.path.join(self._commit_dir(), files[-1])) as fh:
             return json.load(fh)
 
+    def _commit_at(self, version: int) -> dict:
+        path = os.path.join(self._commit_dir(), f"v{version:012d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot v{version} (vacuumed or never written)")
+        with open(path) as fh:
+            return json.load(fh)
+
     def _write_commit(self, version, batch_id, buckets, applied, payload_schema):
         payload = {
             "version": version,
@@ -214,16 +221,25 @@ class KeyedLakeTable:
         return ", ".join(f"`{c}` {t}" for c, t in cols.items())
 
     def read(
-        self, buckets: list[int] | None = None, include_tombstones: bool = False
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current snapshot (optionally pruned to a bucket subset).
+        """Snapshot read (optionally pruned to a bucket subset).
+
+        ``version`` time-travels to an earlier snapshot (the Iceberg
+        ``VERSION AS OF`` analog): commits are immutable, so any version
+        whose data dirs ``vacuum`` hasn't reclaimed reads consistently.
 
         Deleted keys persist as tombstone rows (`__deleted`, payload NULL,
         `_seq` = delete position) so a late out-of-order insert with an
         older seq cannot resurrect them; reads exclude tombstones unless
         asked (the merge asks).
         """
-        commit = self._current_commit()
+        commit = (
+            self._current_commit() if version is None else self._commit_at(version)
+        )
         payload_schema = commit["payload_schema"]
         cols = self.keys + list(payload_schema) + [SEQ_COL, DELETED_COL]
         paths = [

@@ -51,6 +51,16 @@ def main() -> None:
     p.add_argument("--salt-chunks", type=int, default=None)
     p.add_argument("--cpus", type=int, default=None, help="local mode only")
     p.add_argument("--selftest", action="store_true", help="generate a synthetic log and replay it")
+    p.add_argument(
+        "--compact-tombstones", type=int, metavar="SEQ", default=None,
+        help="maintenance: drop delete tombstones with seq older than SEQ "
+             "(the source's out-of-order horizon) after the replay",
+    )
+    p.add_argument(
+        "--vacuum-keep", type=int, default=None, metavar="N",
+        help="maintenance: reclaim data dirs unreferenced by the last N "
+             "snapshots after the replay",
+    )
     args = p.parse_args()
 
     from commons_codec_spark.lake.table import KeyedLakeTable
@@ -127,6 +137,11 @@ def main() -> None:
         q.awaitTermination()
     else:
         pipe.run_replay(spark.read.parquet(args.events))
+
+    if args.compact_tombstones is not None:
+        print(json.dumps(table.compact_tombstones(args.compact_tombstones)))
+    if args.vacuum_keep is not None:
+        table.vacuum(keep_last=args.vacuum_keep)
 
     for m in pipe.metrics:
         print(json.dumps(m))

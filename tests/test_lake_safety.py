@@ -109,3 +109,20 @@ def test_handle_control_rejects_custom_decoder(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="handle_control"):
         CDCPipeline(spark, table, cfg)
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Snapshot time travel: read(version=N) sees exactly the state after
+    commit N, for any version vacuum hasn't reclaimed."""
+    import pytest as _pytest
+
+    table = _table(spark, tmp_path)
+    table.merge(_net(spark, [("a", 1, 1)]), batch_id=1)  # v1
+    v1 = table.version()
+    table.merge(_net(spark, [("b", 2, 2)]), batch_id=2)  # v2
+    v2 = table.version()
+    assert {r.k for r in table.read().collect()} == {"a", "b"}
+    assert {r.k for r in table.read(version=v1).collect()} == {"a"}
+    assert {r.k for r in table.read(version=v2).collect()} == {"a", "b"}
+    with _pytest.raises(ValueError, match="no snapshot"):
+        table.read(version=999)

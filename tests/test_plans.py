@@ -34,6 +34,35 @@ def test_decode_and_fold_stay_jvm_side(spark):
     assert "WindowGroupLimit" in plan or "Window" in plan  # closed-form fold shape
 
 
+def test_merge_join_reuses_fold_partitioning(spark, tmp_path):
+    """The merge's full-outer join must run on the keys alone so the fold's
+    window exchange is REUSED: exactly two hash exchanges in the whole
+    decode→fold→join plan (events into the window, current-table scan into
+    the join) — a third would mean the net side re-shuffles its payload."""
+    from commons_codec_spark.lake.table import BUCKET_COL, KeyedLakeTable
+
+    events = generate_event_log(
+        spark, n_events=1000, n_keys=100, n_repos=4, seed=9, batch_size=1000
+    )
+    src = events.withColumn("image", F.coalesce("image", "keys_json"))
+    decoded = compile_direct_decoder(src, "image", SOURCE_CODE_COLUMNS)
+    net = fold_net_changes(decoded, ["repo", "path"], PAYLOAD)
+    table = KeyedLakeTable.create(
+        spark, str(tmp_path / "t"), {"repo": "string", "path": "string"}, n_buckets=8
+    )
+    table.merge(net, batch_id=0)  # seed so the current side scans parquet
+
+    current = table.read(include_tombstones=True)
+    joined = current.alias("t").join(
+        net.withColumn(BUCKET_COL, table._bucket_expr()).drop(BUCKET_COL).alias("s"),
+        on=["repo", "path"],
+        how="full_outer",
+    )
+    plan = _plan(joined)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "EvalPython" not in plan
+
+
 def test_scan_pushdown_and_pruning(spark, tmp_path):
     out = str(tmp_path / "events-parquet")
     generate_event_log(
