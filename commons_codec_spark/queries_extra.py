@@ -530,6 +530,53 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of the streaming session_window)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from commons_codec_spark.operators import sessions
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessions.session_stats(
+        ev, ["user_id"], ts_col="ts", gap_sec=600, tiebreak_col="event_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_id",
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+m AS (
+    SELECT user_id, ts_us, event_id,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1
+                ELSE 0 END AS ns
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+    SELECT user_id, ts_us,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM m
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (training-pipeline text analysis)
 # ---------------------------------------------------------------------------
 
@@ -650,6 +697,7 @@ EXTRA_QUERIES = {
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "similarity_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "sessionization_stats": (q_sessionization, SQL_SESSIONIZATION),
     "dms_control_plane": (q_dms_control_plane, SQL_DMS_CONTROL),
     "dms_envelope_decode": (q_dms_envelope_decode, SQL_DMS_ENVELOPE),
     "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),

@@ -45,3 +45,33 @@ def windowed_op_counts(
             "n",
         )
     )
+
+
+def session_window_stats(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    gap: str = "10 minutes",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Per-key gap sessions via Spark's native ``session_window``.
+
+    Streaming: watermarked, so a session finalizes (append mode) once the
+    watermark passes its close — bounded state, the standard late-data
+    contract.  Batch: same expression, useful for backfill; the
+    deterministic replay twin is ``operators.sessions.session_stats``
+    (explicit lag+sum construction with a SQL oracle).
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark_delay)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

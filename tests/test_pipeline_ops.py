@@ -174,3 +174,24 @@ def test_multimodal_features_and_frames(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         multimodal.extract_features(df, dim=4, use_fake_decoder=False).collect()
+
+
+def test_sessionize_gap_semantics(spark):
+    from commons_codec_spark.operators import sessions
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", 1),
+        ("u", "2024-01-01 00:10:00", 2),   # exactly at the gap: continues
+        ("u", "2024-01-01 00:20:01", 3),   # 601s: new session
+        ("v", "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string, event_id long")
+    out = sessions.sessionize(df, ["user"], "ts", gap_sec=600, tiebreak_col="event_id")
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+    stats = sessions.session_stats(df, ["user"], "ts", gap_sec=600, tiebreak_col="event_id")
+    srow = {(r.user, r.session_id): (r.n_events, r.duration_us) for r in stats.collect()}
+    assert srow[("u", 0)] == (2, 600_000_000)
+    assert srow[("u", 1)] == (1, 0)
+    assert srow[("v", 0)] == (1, 0)

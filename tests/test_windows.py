@@ -83,3 +83,62 @@ def test_streaming_watermark_finalizes_and_drops_late(spark, tmp_path):
     # minute 10/11 windows never finalize (no later data advances the
     # watermark past their ends) — append mode correctly withholds them
     assert (10, "insert") not in out and (11, "insert") not in out
+
+
+def test_batch_session_window_stats(spark):
+    from commons_codec_spark.streaming.windows import session_window_stats
+
+    def at(minute, second=0):
+        return T0 + dt.timedelta(minutes=minute, seconds=second)
+
+    rows = [
+        ("u1", at(0)), ("u1", at(2)), ("u1", at(20)),  # 2 sessions (gap 10m)
+        ("u2", at(5)),
+    ]
+    df = spark.createDataFrame(rows, "user string, event_ts timestamp")
+    out = session_window_stats(df, ["user"], gap="10 minutes")
+    got = sorted((r.user, r.n_events) for r in out.collect())
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_streaming_session_window_finalizes(spark, tmp_path):
+    import glob
+    import shutil
+
+    from commons_codec_spark.streaming.windows import session_window_stats
+
+    def at(minute, second=0):
+        return T0 + dt.timedelta(minutes=minute, seconds=second)
+
+    early = [("u1", at(0)), ("u1", at(2)), ("u2", at(1))]
+    advance = [("u1", at(40)), ("u2", at(41))]  # push watermark past gap
+    src = str(tmp_path / "sess-in")
+    os.makedirs(src)
+    for name, rows in (("a", early), ("b", advance)):
+        staging = f"{src}/_stage_{name}"
+        spark.createDataFrame(rows, "user string, event_ts timestamp").repartition(
+            1
+        ).write.parquet(staging)
+        shutil.move(glob.glob(staging + "/part-*.parquet")[0], f"{src}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    stream = (
+        spark.readStream.schema("user string, event_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_window_stats(stream, ["user"], gap="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_stats").collect()
+    got = {(r.user, r.n_events) for r in rows}
+    # the early sessions finalized once the watermark passed their close;
+    # the minute-40 sessions never finalize (nothing advances the watermark)
+    assert ("u1", 2) in got and ("u2", 1) in got
+    assert not any(r.session_start.minute == 40 for r in rows)
