@@ -321,7 +321,17 @@ class KeyedLakeTable:
             # the filesystem check is free and works everywhere.)
         if touched:
             for c, t in batch_fields.items():
-                payload_schema.setdefault(c, t)
+                prior = payload_schema.setdefault(c, t)
+                if prior != t:
+                    # evolution is ADDITIVE-only (the north rule's `lang`
+                    # case); a type change would otherwise surface as an
+                    # obscure DATATYPE_MISMATCH deep in the merge projection
+                    raise ValueError(
+                        f"column {c!r} changed type {prior!r} -> {t!r}; the "
+                        "lake supports additive evolution only — annotate "
+                        "or cast the column consistently from the first "
+                        "batch that writes it"
+                    )
         current = self.read(buckets=touched, include_tombstones=True)
 
         # --- merge join on the keys alone (bucket is derived from them, so

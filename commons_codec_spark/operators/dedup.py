@@ -161,6 +161,59 @@ def lsh_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id).
+
+    ``cluster_id`` is the minimum id in the component — the canonical
+    "keeper" a dedup pipeline retains.  Min-label propagation: each round
+    every node takes the min of its own and its neighbors' labels; the
+    loop is driver-side but each step is a distributed join+aggregate
+    over the (small) candidate-pair graph — no per-node collect.
+    Converges in O(component diameter) rounds; near-dup clusters are
+    shallow (copies of copies), so 3-5 rounds is typical.  Each round
+    ``localCheckpoint``s to cut lineage (iterative plans otherwise grow
+    exponentially).  Raises if ``max_iters`` rounds don't converge.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -156,6 +156,31 @@ WHERE o.doc_id % 25 = 0 AND o.doc_id < 1000000
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the verified LSH pairs
+    (the canonical-keeper assignment a dedup pipeline actually applies)."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(
+        aug, "doc_id", "text", num_hashes=8, band_size=2, verify_threshold_pct=50
+    )
+    return dedup.dedup_clusters(pairs.select("a", "b")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({SQL_DEDUP_MINHASH}) t),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, lbl) AS (
+    SELECT DISTINCT a AS id, a AS lbl FROM edges
+    UNION
+    SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit simhash (the oracle-checkable core of simhash dedup)."""
     aug = _augmented_docs(spark, sf_dir)
@@ -302,6 +327,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -195,3 +195,11 @@ def test_sessionize_gap_semantics(spark):
     assert srow[("u", 0)] == (2, 600_000_000)
     assert srow[("u", 1)] == (1, 0)
     assert srow[("v", 0)] == (1, 0)
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "a long, b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
