@@ -104,6 +104,54 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def top_ngrams(
+    df, text_col: str = "text", n: int = 3, k: int = 20, id_col: str | None = None
+):
+    """Corpus-level frequent word n-grams: (ngram, doc_freq, total_freq).
+
+    ``doc_freq`` counts documents containing the gram at least once,
+    ``total_freq`` counts occurrences.  One explode + one hash aggregation
+    (map-side combine), then a global top-k — the boilerplate-detection
+    primitive a training pipeline runs before dedup (frequent grams ≈
+    headers/footers/license blurbs).  Ties rank by gram text for
+    determinism.  At 100 TB: the explode multiplies rows ~|tokens| per
+    doc, but partial aggregation collapses them within each task before
+    the single shuffle on the gram.
+    """
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    def build(toks: Column) -> Column:
+        count = F.size(toks) - (n - 1)
+        return F.when(count >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+
+    grams = df.select(
+        F.explode(let(tokens(F.col(text_col)), build)).alias("ngram"),
+        *([F.col(id_col)] if id_col else []),
+    )
+    agg = grams.groupBy("ngram").agg(
+        FF.count(FF.lit(1)).alias("total_freq"),
+        *(
+            [FF.countDistinct(id_col).alias("doc_freq")]
+            if id_col
+            else [FF.count(FF.lit(1)).alias("doc_freq")]
+        ),
+    )
+    # orderBy+limit plans as TakeOrdered (per-partition top-k, tiny merge on
+    # the driver) — a global row_number window would single-partition the
+    # full distinct-gram set
+    top = agg.orderBy(FF.desc("total_freq"), FF.asc("ngram")).limit(int(k))
+    w = W.orderBy(FF.desc("total_freq"), FF.asc("ngram"))
+    return top.withColumn("rank", FF.row_number().over(w)).select(
+        "rank", "ngram", "doc_freq", "total_freq"
+    )
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text."""
     return F.md5(normalize(text))

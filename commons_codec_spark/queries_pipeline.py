@@ -290,6 +290,40 @@ FROM documents
 """
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 3-grams (boilerplate detection before dedup)."""
+    d = _docs(spark, sf_dir)
+    out = text.top_ngrams(d, "text", n=3, k=20, id_col="doc_id")
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        "ngram",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("total_freq").cast("long").alias("total_freq"),
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH g AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM g),
+grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) - 2 < 1 THEN []
+                  ELSE list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS ngram
+    FROM toks
+),
+agg AS (
+    SELECT ngram, COUNT(*) AS total_freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM grams GROUP BY ngram
+)
+SELECT CAST(row_number() OVER (ORDER BY total_freq DESC, ngram ASC) AS INT) AS rank,
+       ngram, doc_freq, total_freq
+FROM agg
+ORDER BY total_freq DESC, ngram ASC
+LIMIT 20
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -332,4 +366,5 @@ PIPELINE_QUERIES = {
     "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }

@@ -203,3 +203,21 @@ def test_dedup_clusters_connected_components(spark):
     )
     out = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_top_ngrams(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on a chair"),
+        (3, "dogs bark loudly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.top_ngrams(df, "text", n=3, k=3, id_col="doc_id").collect()
+    # freq-2 grams tie; alphabetical tie-break ranks "cat sat on" first
+    assert out[0].ngram == "cat sat on" and out[0].rank == 1
+    assert out[1].ngram == "the cat sat" and out[1].rank == 2
+    assert out[0].total_freq == 2 and out[0].doc_freq == 2
+    assert len(out) == 3
+    # plan hygiene: global top-k must be TakeOrdered, not a one-partition sort
+    plan = text.top_ngrams(df, "text", n=3, k=3, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
