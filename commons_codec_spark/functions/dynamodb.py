@@ -196,7 +196,13 @@ UNIVERSAL_SCHEMA = T.StructType(
 
 
 def _jsonify(bucket: dict) -> dict:
-    return {k: json.dumps(v, separators=(",", ":")) for k, v in bucket.items()}
+    # ensure_ascii=False keeps non-ASCII text as UTF-8, byte-identical to
+    # the JVM decoder's Jackson encoding (dynamodb_jvm.py) — pinned by
+    # tests/test_dynamodb_jvm.py.
+    return {
+        k: json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        for k, v in bucket.items()
+    }
 
 
 def decode_events_pandas(
