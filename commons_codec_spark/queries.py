@@ -179,6 +179,35 @@ def q_universal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_universal_decode_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1–D3 with NO schema given: infer the batch's descriptor schema
+    (one shrinking JVM job per nesting level), compile it to a typed
+    from_json decode, and read the same columns the universal query does —
+    all whole-stage codegen, no Python workers.  Same oracle as
+    ``universal_decode``: both paths must land on identical values."""
+    from commons_codec_spark.functions.dynamodb_auto import decode_auto
+
+    part = _t(spark, sf_dir, "part")
+    env = part.select(
+        F.format_string(
+            '{"pid":{"S":"%d"},"price_cents":{"N":"%d"},'
+            '"meta":{"M":{"brand":{"S":"%s"}}},"tags":{"SS":["%s","%s"]}}',
+            F.col("p_partkey"),
+            F.round(F.col("p_retailprice") * 100).cast("long"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_name"),
+        ).alias("image"),
+    )
+    dec, _spec = decode_auto(env)
+    return dec.select(
+        F.col("pid").cast("long").alias("pid"),
+        F.col("price_cents").cast("long").alias("price_cents"),
+        F.col("meta")["brand"].alias("brand"),
+        F.array_join(F.col("tags"), ",").alias("tags"),
+    )
+
+
 SQL_UNIVERSAL_DECODE = """
 SELECT p_partkey AS pid,
        CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
@@ -301,6 +330,10 @@ CORE_QUERIES = {
     "cdc_replay_final_state": (q_cdc_replay_final_state, SQL_CDC_REPLAY),
     "cdc_op_histogram": (q_cdc_op_histogram, SQL_CDC_OP_HISTOGRAM),
     "universal_decode": (q_universal_decode, SQL_UNIVERSAL_DECODE),
+    "universal_decode_inferred": (
+        q_universal_decode_inferred,
+        SQL_UNIVERSAL_DECODE,
+    ),
     "lww_latest_by_user": (q_lww_latest_by_user, SQL_LWW_LATEST),
     "lww_salted_two_phase": (q_lww_salted, SQL_LWW_LATEST),
     "json_reparse_props": (q_json_reparse_props, SQL_JSON_REPARSE),

@@ -1,0 +1,179 @@
+"""Schema-inferred DIRECT decode (infer -> compile -> JVM decode).
+
+Pins decode_auto to the deserialize lattice semantics
+(``/root/reference/src/commons_codec/vendor/boto3/dynamodb/types.py:82-144``
+with CrateDB overrides): typed columns for inferable shapes, raw
+descriptor text for varied lists / marker conflicts / beyond-depth
+nesting, scalar+NULL nullability, and a Python-free physical plan.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from commons_codec_spark.functions.dynamodb_auto import (
+    FieldSpec,
+    decode_auto,
+    decode_inferred,
+    infer_image_schema,
+)
+
+
+def _df(spark, images):
+    return spark.createDataFrame(
+        [(json.dumps(i) if isinstance(i, dict) else i,) for i in images],
+        "image string",
+    )
+
+
+def test_scalar_and_set_markers_typed(spark):
+    df = _df(
+        spark,
+        [
+            {
+                "s": {"S": "hi"},
+                "n": {"N": "84.84"},
+                "b": {"BOOL": True},
+                "bin": {"B": "U3Vubnk="},
+                "ss": {"SS": ["b", "a"]},
+                "ns": {"NS": ["3", "1", "2.5"]},
+                "bs": {"BS": ["Yg==", "YQ=="]},
+                "nul": {"NULL": True},
+            }
+        ],
+    )
+    out, spec = decode_auto(df)
+    row = out.collect()[0]
+    assert row["s"] == "hi" and row["n"] == 84.84 and row["b"] is True
+    assert row["bin"] == "U3Vubnk="
+    assert row["ss"] == ["a", "b"]  # sets decode sorted
+    assert row["ns"] == [1.0, 2.5, 3.0]
+    assert row["bs"] == ["YQ==", "Yg=="]
+    assert row["nul"] is None
+    assert all(s.kind == "scalar" for s in spec.values())
+
+
+def test_nested_m_becomes_struct_and_l_becomes_array(spark):
+    df = _df(
+        spark,
+        [
+            {
+                "m": {"M": {"t": {"N": "42"}, "in": {"M": {"s": {"S": "x"}}}}},
+                "l": {"L": [{"S": "p"}, {"S": "q"}]},
+                "lm": {"L": [{"M": {"a": {"N": "1"}}}]},
+            }
+        ],
+    )
+    out, spec = decode_auto(df)
+    row = out.collect()[0]
+    assert row["m"]["t"] == 42.0 and row["m"]["in"]["s"] == "x"
+    assert row["l"] == ["p", "q"]
+    assert row["lm"][0]["a"] == 1.0
+    assert spec["m"].kind == "M" and spec["l"].kind == "L"
+
+
+def test_varied_list_and_marker_conflict_opaque(spark):
+    df = _df(
+        spark,
+        [
+            {"vl": {"L": [{"N": "1"}, {"S": "x"}]}, "c": {"N": "1"}},
+            {"c": {"S": "one"}},
+        ],
+    )
+    out, spec = decode_auto(df)
+    assert spec["vl"].kind == "opaque" and spec["c"].kind == "opaque"
+    rows = {r["c"]: r for r in out.collect()}
+    # opaque columns carry the raw descriptor text for downstream routing
+    assert '{"N":"1"}' in rows or '{"N": "1"}' in rows
+    vals = sorted(v for v in rows)
+    assert any("S" in v for v in vals) and any("N" in v for v in vals)
+
+
+def test_scalar_plus_null_decodes_nullable(spark):
+    df = _df(
+        spark,
+        [{"maybe": {"S": "v"}}, {"maybe": {"NULL": True}}, {}],
+    )
+    out, spec = decode_auto(df)
+    assert spec["maybe"].kind == "scalar" and spec["maybe"].marker == "S"
+    assert sorted(
+        (r["maybe"] for r in out.collect()), key=lambda v: (v is None, v)
+    ) == ["v", None, None]
+
+
+def test_depth_wall_coarsens_to_opaque(spark):
+    deep = {"S": "bottom"}
+    for i in range(5):
+        deep = {"M": {f"l{i}": deep}}
+    df = _df(spark, [{"d": deep, "flat": {"S": "x"}}])
+    out, spec = decode_auto(df, max_depth=2)
+    assert spec["d"].kind == "opaque" and spec["flat"].kind == "scalar"
+    row = out.collect()[0]
+    assert row["flat"] == "x" and row["d"].startswith('{"M":')
+
+
+def test_plan_is_python_free(spark):
+    df = _df(spark, [{"a": {"S": "x"}, "m": {"M": {"b": {"N": "1"}}}}])
+    out, _ = decode_auto(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_spec_deterministic_column_order(spark):
+    images = [{f"f{i:02d}": {"S": str(i)} for i in range(10)}] * 5
+    df = _df(spark, images).repartition(4)
+    out, spec = decode_auto(df)
+    assert list(spec) == sorted(spec)
+    assert out.columns == ["image"] + sorted(spec)
+
+
+def test_sampled_inference_with_conformance_flag(spark):
+    common = [{"a": {"S": "x"}, "n": {"N": "1"}}] * 200
+    rare = [{"a": {"S": "y"}, "surprise": {"S": "!"}}]
+    df = _df(spark, common + rare).coalesce(1)
+    spec = infer_image_schema(df, sample_fraction=0.05)
+    out = decode_inferred(df, spec, conformance_col="_conforms")
+    bad = out.where(~F.col("_conforms"))
+    if "surprise" not in spec:  # the rare row escaped the sample
+        assert bad.count() == 1
+        assert json.loads(bad.collect()[0]["image"])["surprise"] == {"S": "!"}
+    else:  # sample caught it; everything conforms
+        assert bad.count() == 0
+
+
+def test_agreement_with_arrow_universal_kernel(spark):
+    """Typed decode_auto values re-encoded must equal the universal
+    kernel's typed-bucket JSON for a fully-inferable corpus."""
+    from commons_codec_spark.functions.dynamodb import decode_record
+
+    images = [
+        {
+            "s": {"S": f"v{i}"},
+            "n": {"N": str(i * 1.5)},
+            "m": {"M": {"k": {"S": f"kv{i}"}}},
+            "ss": {"SS": [f"b{i}", f"a{i}"]},
+        }
+        for i in range(50)
+    ]
+    df = _df(spark, images)
+    out, spec = decode_auto(df)
+    got = {
+        r["s"]: (r["n"], r["m"]["k"], r["ss"]) for r in out.collect()
+    }
+    for img in images:
+        ref = decode_record(img)["typed"]
+        assert got[ref["s"]] == (ref["n"], ref["m"]["k"], ref["ss"])
+
+
+def test_pinned_spec_reuse_across_batches(spark):
+    """A persisted spec (schema-registry style) decodes a later batch
+    without re-inference."""
+    spec = {
+        "a": FieldSpec("scalar", "S"),
+        "n": FieldSpec("scalar", "N"),
+    }
+    df = _df(spark, [{"a": {"S": "x"}, "n": {"N": "2"}}])
+    row = decode_inferred(df, spec).collect()[0]
+    assert row["a"] == "x" and row["n"] == 2.0
