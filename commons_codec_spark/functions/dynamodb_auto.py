@@ -370,9 +370,59 @@ def decode_auto(
     )
 
 
+def make_auto_decoder(
+    image_col: str = "image",
+    keys_col: str = "keys_json",
+    max_depth: int = 3,
+    sample_fraction: float | None = None,
+):
+    """Pipeline decoder (``PipelineConfig.decoder``) for descriptor
+    envelopes whose image schema is UNKNOWN up front.
+
+    Each batch is inferred and decoded compiled; the spec is pinned across
+    batches and extended additively (a later batch introducing a new field
+    widens it — the additive schema-evolution contract), while a field
+    that *changes shape* between batches raises instead of silently
+    misdecoding, matching the lake's clear-error-on-type-change policy.
+
+    The decoder exposes the running spec as ``decoder.discovered`` after
+    every call — the pipeline merges those names into its payload-column
+    set, so fold/merge pick up inferred columns exactly like discovered
+    ones.
+    """
+    pinned: dict[str, FieldSpec] = {}
+
+    def decode(batch: DataFrame) -> DataFrame:
+        src = batch.withColumn(
+            image_col, F.coalesce(F.col(image_col), F.col(keys_col))
+        )
+        fresh = infer_image_schema(
+            src,
+            image_col=image_col,
+            max_depth=max_depth,
+            sample_fraction=sample_fraction,
+        )
+        for name, s in fresh.items():
+            if name not in pinned:
+                pinned[name] = s
+            elif pinned[name] != s:
+                raise ValueError(
+                    f"image column {name!r} changed shape across batches: "
+                    f"{pinned[name]} -> {s}; a type flip would silently "
+                    "misdecode — route the source through an explicit "
+                    "schema instead"
+                )
+        decode.discovered = dict(pinned)
+        return decode_inferred(src, pinned, image_col=image_col).drop(image_col)
+
+    decode.discovered = {}
+    return decode
+
+
 __all__ = [
     "FieldSpec",
     "infer_image_schema",
     "decode_inferred",
     "decode_auto",
+    "make_auto_decoder",
 ]

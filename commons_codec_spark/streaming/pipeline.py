@@ -243,6 +243,18 @@ class CDCPipeline:
     def _apply_data_batch(self, batch: DataFrame, batch_id) -> dict:
         if self.cfg.decoder is not None:
             decoded = self.cfg.decoder(batch)
+            # schema-inferring decoders (make_auto_decoder) surface the
+            # columns they found via `.discovered`; merge the names so
+            # fold/merge treat inferred columns like discovered ones
+            discovered = getattr(self.cfg.decoder, "discovered", None)
+            if discovered:
+                fresh = [c for c in discovered if c not in self._image_columns]
+                if fresh:
+                    for c in fresh:
+                        self._image_columns[c] = "auto"
+                    self.registry.note_columns(
+                        self.cfg.schema_name, self.cfg.table_name, fresh
+                    )
         else:
             self._discover_columns(batch)
             # decode (JVM): image JSON -> typed cols; deletes decode keys_json

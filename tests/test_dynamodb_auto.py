@@ -177,3 +177,65 @@ def test_pinned_spec_reuse_across_batches(spark):
     df = _df(spark, [{"a": {"S": "x"}, "n": {"N": "2"}}])
     row = decode_inferred(df, spec).collect()[0]
     assert row["a"] == "x" and row["n"] == 2.0
+
+
+def test_auto_decoder_pipeline_matches_default_dialect(spark, tmp_path):
+    """Replay the same CDC log through (a) the declared-schema DIRECT
+    dialect and (b) the schema-inferring auto dialect; final lake states
+    must be identical — including the additive lang column that only
+    appears mid-stream."""
+    from commons_codec_spark.functions.dynamodb_auto import make_auto_decoder
+    from commons_codec_spark.lake.table import KeyedLakeTable
+    from commons_codec_spark.sources.eventlog import (
+        SOURCE_CODE_COLUMNS,
+        generate_event_log,
+    )
+    from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+    log = generate_event_log(
+        spark, n_events=3000, n_keys=300, n_repos=6, seed=11, batch_size=1000
+    ).cache()
+    key_schema = {"repo": "string", "path": "string"}
+
+    def run(tag, **cfg_kw):
+        tbl = KeyedLakeTable.create(
+            spark, str(tmp_path / tag), key_schema=key_schema, n_buckets=4
+        )
+        cfg = PipelineConfig(keys=["repo", "path"], **cfg_kw)
+        CDCPipeline(spark, tbl, cfg).run_replay(log)
+        return tbl
+
+    t_direct = run("direct", image_columns=SOURCE_CODE_COLUMNS)
+    t_auto = run(
+        "auto",
+        image_columns={"repo": "S", "path": "S"},  # keys only; rest inferred
+        decoder=make_auto_decoder(),
+    )
+
+    cols = sorted(set(t_direct.read().columns) & set(t_auto.read().columns))
+    assert "lang" in cols and "content" in cols and "size" in cols
+    a = sorted(map(tuple, t_direct.read().select(*cols).collect()))
+    b = sorted(map(tuple, t_auto.read().select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_auto_decoder_raises_on_type_flip(spark):
+    import json as _json
+
+    from commons_codec_spark.functions.dynamodb_auto import make_auto_decoder
+
+    dec = make_auto_decoder()
+    b1 = spark.createDataFrame(
+        [("insert", _json.dumps({"id": {"S": "a"}}), _json.dumps({"id": {"S": "a"}, "v": {"N": "1"}}))],
+        "op string, keys_json string, image string",
+    )
+    dec(b1)
+    assert dec.discovered["v"].marker == "N"
+    b2 = b1.withColumn(
+        "image", F.lit(_json.dumps({"id": {"S": "a"}, "v": {"S": "one"}}))
+    )
+    try:
+        dec(b2)
+        assert False, "type flip must raise"
+    except ValueError as exc:
+        assert "changed shape" in str(exc)
