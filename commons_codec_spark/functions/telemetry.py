@@ -198,3 +198,139 @@ def readings_to_columns(
         )
         out.append(col)
     return df.select("*", *out)
+
+
+# ---------------------------------------------------------------------------
+# JVM form of the TTS/TTN decode (D13) — dynamic gateway keys included
+# ---------------------------------------------------------------------------
+
+#: Typed envelope of a TTS/TTN uplink: everything :func:`decode_tts_ttn`
+#: touches, scalars kept as strings (cast at the pivot).  decoded_payload
+#: is a string catch-all map — arbitrary device fields survive.
+TTS_TTN_SCHEMA = (
+    "struct<"
+    "end_device_ids: struct<device_id: string>,"
+    "received_at: string,"
+    "uplink_message: struct<"
+    "  decoded_payload: map<string,string>,"
+    "  settings: struct<"
+    "    data_rate: struct<lora: struct<bandwidth: string,"
+    "                                   spreading_factor: string>>,"
+    "    frequency: string>,"
+    "  f_cnt: string,"
+    "  rx_metadata: array<struct<gateway_ids: struct<gateway_id: string>,"
+    "                            rssi: string, snr: string>>"
+    ">,"
+    "_corrupt: string"  # PERMISSIVE corrupt-record capture (poison -> DLQ)
+    ">"
+)
+
+_ENTRY_T = "array<struct<key:string,value:string>>"
+
+
+def _opt_entry(cond, key, value):
+    """[] or a single (key, value) map entry, by condition."""
+    entry = F.array(F.struct(F.lit(key).alias("key"), value.alias("value")))
+    return F.when(cond, entry).otherwise(F.array().cast(_ENTRY_T))
+
+
+def decode_tts_ttn_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """TTS/TTN decode as pure column expressions — no Python workers.
+
+    Produces the same ``reading``/``error`` shape as
+    ``decode_telemetry(df, "tts_ttn")``: one typed ``from_json`` over
+    :data:`TTS_TTN_SCHEMA`, the dynamic per-gateway ``gw_<id>_rssi/snr``
+    keys assembled with ``transform`` + ``flatten`` + ``map_from_entries``
+    over ``rx_metadata``.  Whole plan stays JVM-side.
+
+    Divergences from the Arrow kernel, documented: (1) reading map values
+    are the raw scalar texts (the kernel JSON-encodes, so its strings are
+    quoted) — identical after :func:`readings_to_columns`' casts, which is
+    the shape both feed; (2) an uplink with a *present but structurally
+    broken* inner section (e.g. ``settings`` missing ``data_rate``)
+    decodes as absent keys instead of the kernel's poison-row error —
+    only unparseable JSON sets ``error`` here.
+    """
+    p = F.from_json(
+        F.col(payload_col),
+        TTS_TTN_SCHEMA,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    up = p["uplink_message"]
+    lora = up["settings"]["data_rate"]["lora"]
+
+    payload_entries = F.when(
+        up["decoded_payload"].isNotNull(), F.map_entries(up["decoded_payload"])
+    ).otherwise(F.array().cast(_ENTRY_T))
+
+    gw_entries = F.when(
+        up["rx_metadata"].isNotNull(),
+        F.flatten(
+            F.transform(
+                up["rx_metadata"],
+                lambda rx: F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("gw_"),
+                            rx["gateway_ids"]["gateway_id"],
+                            F.lit("_rssi"),
+                        ).alias("key"),
+                        rx["rssi"].alias("value"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("gw_"),
+                            rx["gateway_ids"]["gateway_id"],
+                            F.lit("_snr"),
+                        ).alias("key"),
+                        rx["snr"].alias("value"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast(_ENTRY_T))
+
+    entries = F.concat(
+        _opt_entry(
+            p["end_device_ids"].isNotNull(),
+            "device_id",
+            p["end_device_ids"]["device_id"],
+        ),
+        _opt_entry(p["received_at"].isNotNull(), "timestamp", p["received_at"]),
+        payload_entries,
+        _opt_entry(
+            lora["bandwidth"].isNotNull(),
+            "bw",
+            (lora["bandwidth"].cast("double") / 1000).cast("string"),
+        ),
+        _opt_entry(
+            lora["spreading_factor"].isNotNull(), "sf", lora["spreading_factor"]
+        ),
+        _opt_entry(
+            up["settings"]["frequency"].isNotNull(),
+            "freq",
+            (up["settings"]["frequency"].cast("double") / 1e6).cast("string"),
+        ),
+        _opt_entry(up["f_cnt"].isNotNull(), "counter", up["f_cnt"]),
+        _opt_entry(
+            up["rx_metadata"].isNotNull(),
+            "gtw_count",
+            F.size(up["rx_metadata"]).cast("string"),
+        ),
+        gw_entries,
+    )
+
+    # NULL payloads poison too (the kernel's json.loads(None) raises)
+    bad = p.isNull() | p["_corrupt"].isNotNull()
+    err = F.when(
+        bad, F.lit("DecodeError: unparseable TTS/TTN payload")
+    ).otherwise(F.lit(None).cast("string"))
+
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(
+        *keep,
+        F.when(~bad, F.map_from_entries(entries))
+        .otherwise(F.lit(None).cast("map<string,string>"))
+        .alias("reading"),
+        err.alias("error"),
+    )

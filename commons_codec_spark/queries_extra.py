@@ -148,6 +148,43 @@ def q_tts_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("reading", "error")
 
 
+def q_tts_ttn_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 as pure column expressions (decode_tts_ttn_jvm): same uplinks,
+    same pivot, no Python workers — pinned to the same oracle as the
+    Arrow-kernel query."""
+    from commons_codec_spark.functions.telemetry import decode_tts_ttn_jvm
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"end_device_ids":{"device_id":"dev-%d"},'
+        '"uplink_message":{"decoded_payload":{"reading_cents":%d},'
+        '"settings":{"data_rate":{"lora":{"bandwidth":125000,'
+        '"spreading_factor":7}},"frequency":"868100000"},'
+        '"f_cnt":%d,"rx_metadata":['
+        '{"gateway_ids":{"gateway_id":"gw0"},"rssi":%d,"snr":5},'
+        '{"gateway_ids":{"gateway_id":"gw1"},"rssi":%d,"snr":7}]}}',
+        F.col("user_id"), cents, F.col("event_id") % 65536,
+        -(F.col("user_id") % 60 + 30), -(F.col("user_id") % 60 + 35),
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    out = readings_to_columns(
+        decode_tts_ttn_jvm(env),
+        {
+            "device_id": "string",
+            "reading_cents": "long",
+            "bw": "double",
+            "sf": "long",
+            "freq": "double",
+            "counter": "long",
+            "gtw_count": "long",
+            "gw_gw0_rssi": "long",
+            "gw_gw1_rssi": "long",
+        },
+    )
+    return out.drop("reading", "error")
+
+
 SQL_TTS_TTN = """
 SELECT event_id,
        'dev-' || CAST(user_id AS VARCHAR) AS device_id,
@@ -692,6 +729,7 @@ FROM f
 EXTRA_QUERIES = {
     "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
+    "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),

@@ -127,3 +127,63 @@ def test_vectorized_telemetry(spark):
     assert rows[1].asDict()["DHT22.Temperature"] == 33.2
     assert rows[1].Time == "t1" and rows[1].error is None
     assert rows[2].error is not None
+
+
+def test_tts_ttn_jvm_matches_arrow_kernel(spark):
+    """JVM expression decoder vs the Python-kernel decode over the same
+    uplinks, including missing sections, poison JSON, and NULL payloads."""
+    import pyspark.sql.functions as F
+
+    from commons_codec_spark.functions.telemetry import (
+        decode_telemetry,
+        decode_tts_ttn_jvm,
+        readings_to_columns,
+    )
+
+    full = (
+        '{"end_device_ids":{"device_id":"dev-5"},'
+        '"received_at":"2024-06-01T10:00:00Z",'
+        '"uplink_message":{"decoded_payload":{"temp":21,"hum":40},'
+        '"settings":{"data_rate":{"lora":{"bandwidth":125000,'
+        '"spreading_factor":9}},"frequency":"867500000"},'
+        '"f_cnt":17,"rx_metadata":['
+        '{"gateway_ids":{"gateway_id":"alpha"},"rssi":-71,"snr":9.25},'
+        '{"gateway_ids":{"gateway_id":"beta"},"rssi":-90,"snr":-1.5}]}}'
+    )
+    no_uplink = '{"end_device_ids":{"device_id":"dev-6"}}'
+    rows = [(1, full), (2, no_uplink), (3, "{nope"), (4, None)]
+    df = spark.createDataFrame(rows, "event_id long, payload string")
+    cols = {
+        "device_id": "string",
+        "timestamp": "string",
+        "temp": "long",
+        "hum": "long",
+        "bw": "double",
+        "sf": "long",
+        "freq": "double",
+        "counter": "long",
+        "gtw_count": "long",
+        "gw_alpha_rssi": "long",
+        "gw_alpha_snr": "double",
+        "gw_beta_rssi": "long",
+        "gw_beta_snr": "double",
+    }
+    a = (
+        readings_to_columns(decode_telemetry(df, "tts_ttn"), cols)
+        .drop("reading")
+        .orderBy("event_id")
+        .collect()
+    )
+    b = (
+        readings_to_columns(decode_tts_ttn_jvm(df), cols)
+        .drop("reading")
+        .orderBy("event_id")
+        .collect()
+    )
+    for x, y in zip(a, b):
+        for k in cols:
+            assert x[k] == y[k], (k, x[k], y[k])
+        assert (x["error"] is None) == (y["error"] is None)
+
+    plan = decode_tts_ttn_jvm(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
