@@ -438,3 +438,120 @@ def decode_mongo_cdc(
             yield pd.concat([pdf.drop(columns=[event_col]), decoded], axis=1)
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Compiled (JVM) change-stream decode — known payload schema, DIRECT shape
+# ---------------------------------------------------------------------------
+
+#: column type -> canonical Extended-JSON wrapper parsed for it
+_MONGO_DIRECT_WRAPPERS = {
+    "string": "string",
+    "bool": "boolean",
+    "oid": "struct<`$oid`: string>",
+    "int": "struct<`$numberInt`: string>",
+    "long": "struct<`$numberLong`: string>",
+    "double": "struct<`$numberDouble`: string>",
+    "decimal": "struct<`$numberDecimal`: string>",
+    "date": "struct<`$date`: struct<`$numberLong`: string>>",
+}
+
+
+def _mongo_direct_field(doc: Column, name: str, typ: str,
+                        config: MongoDecodeConfig) -> Column:
+    """Unwrap one canonical Extended-JSON field to its decoded value,
+    matching :func:`decode_extended_json` for that marker."""
+    raw = doc[name]
+    if typ == "string" or typ == "bool":
+        out = raw
+    elif typ == "oid":
+        out = raw["$oid"]
+    elif typ == "int":
+        out = raw["$numberInt"].cast("long")
+    elif typ == "long":
+        out = raw["$numberLong"]  # reference stringifies bson.Int64
+    elif typ == "double":
+        out = raw["$numberDouble"].cast("double")
+    elif typ == "decimal":
+        out = raw["$numberDecimal"]
+    elif typ == "date":
+        ms = raw["$date"]["$numberLong"].cast("long")
+        if config.timestamp_to_epoch and config.timestamp_use_milliseconds:
+            out = (F.floor(ms / 1000) * 1000).cast("long")
+        elif config.timestamp_to_epoch:
+            out = (ms / 1000.0).cast("double")
+        else:
+            out = F.timestamp_millis(ms)
+    else:  # pragma: no cover — validated below
+        raise ValueError(typ)
+    return out.alias(name)
+
+
+def compile_mongo_direct_decoder(
+    df: DataFrame,
+    event_col: str,
+    columns: dict[str, str],
+    config: MongoDecodeConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """EP3's DIRECT path: change-stream envelope -> op/oid + typed columns,
+    one ``from_json``, no Python workers.
+
+    ``columns`` maps fullDocument field -> type in
+    ``string|bool|oid|int|long|double|decimal|date`` (the canonical
+    Extended-JSON wire wrappers the Arrow lattice handles dynamically —
+    use :func:`decode_mongo_cdc` when the payload schema is unknown or
+    uses non-canonical forms).  Op vocabulary matches ``decode_cdc_event``
+    (``/root/reference/src/commons_codec/transform/mongodb.py:304-348``):
+    insert; update/replace -> update; delete (record NULL); drop and
+    invalidate -> op NULL (skip); missing/unknown operationType or
+    unparseable JSON -> ``error`` (DLQ).
+    """
+    bad_types = {t for t in columns.values()} - set(_MONGO_DIRECT_WRAPPERS)
+    if bad_types:
+        raise ValueError(f"unsupported DIRECT column types: {sorted(bad_types)}")
+    doc_ddl = ", ".join(
+        f"`{n}` {_MONGO_DIRECT_WRAPPERS[t]}" for n, t in columns.items()
+    )
+    schema = (
+        "struct<operationType: string,"
+        " documentKey: struct<`_id`: struct<`$oid`: string>>,"
+        f" fullDocument: struct<{doc_ddl}>,"
+        " _corrupt: string>"
+    )
+    p = F.from_json(
+        F.col(event_col), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    opt = p["operationType"]
+    known = ("insert", "update", "replace", "delete", "drop", "invalidate")
+    bad = (
+        p.isNull()
+        | p["_corrupt"].isNotNull()
+        | opt.isNull()
+        | (opt == "")
+        | ~opt.isin(*known)
+    )
+    op = (
+        F.when(bad, F.lit(None).cast("string"))
+        .when(opt == "insert", F.lit("insert"))
+        .when(opt.isin("update", "replace"), F.lit("update"))
+        .when(opt == "delete", F.lit("delete"))
+        .otherwise(F.lit(None).cast("string"))  # drop/invalidate: skip
+    )
+    err = F.when(
+        bad, F.lit("DecodeError: malformed change-stream envelope")
+    ).otherwise(F.lit(None).cast("string"))
+    doc = p["fullDocument"]
+    keep = [c for c in df.columns if c != event_col]
+    typed = [
+        F.when(op.isin("insert", "update"), _mongo_direct_field(doc, n, t, config))
+        .otherwise(F.lit(None))
+        .alias(n)
+        for n, t in columns.items()
+    ]
+    return df.select(
+        *keep,
+        op.alias("op"),
+        F.when(~bad, p["documentKey"]["_id"]["$oid"]).alias("oid"),
+        *typed,
+        err.alias("error"),
+    )

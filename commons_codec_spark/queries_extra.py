@@ -83,6 +83,60 @@ def q_mongo_cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_cdc_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 DIRECT path: the same change-stream envelopes decoded by
+    compile_mongo_direct_decoder (one typed from_json, no Python) —
+    pinned to the Arrow-lattice query's oracle."""
+    from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    oid = F.substring(F.md5(F.col("event_id").cast("string")), 1, 24)
+    optype = (
+        F.when(F.col("event_id") % 101 == 0, F.lit("drop"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "click", F.lit("replace"))
+        .otherwise(F.lit("insert"))
+    )
+    full = F.format_string(
+        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}},'
+        '"fullDocument":{"event_id":{"$numberLong":"%d"},"event_type":"%s",'
+        '"ts":{"$date":{"$numberLong":"%d"}},"user_id":{"$numberInt":"%d"},'
+        '"value_cents":{"$numberDouble":"%d"}}}',
+        optype, oid, F.col("event_id"), F.col("event_type"), ms,
+        F.col("user_id"), cents,
+    )
+    keyed = F.format_string(
+        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}}}', optype, oid
+    )
+    env = ev.select(
+        F.when(optype.isin("insert", "replace"), full)
+        .otherwise(keyed)
+        .alias("event")
+    )
+    dec = compile_mongo_direct_decoder(
+        env,
+        "event",
+        {
+            "event_id": "long",
+            "event_type": "string",
+            "ts": "date",
+            "user_id": "int",
+            "value_cents": "double",
+        },
+    )
+    return dec.filter(F.col("op").isNotNull()).select(
+        "op",
+        "oid",
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("ts").alias("ts_ms"),
+        F.col("user_id").alias("user_id"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
 SQL_MONGO_CDC = """
 WITH base AS (
     SELECT event_id, user_id, event_type,
@@ -728,6 +782,7 @@ FROM f
 
 EXTRA_QUERIES = {
     "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
+    "mongo_cdc_decode_jvm": (q_mongo_cdc_decode_jvm, SQL_MONGO_CDC),
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
     "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),

@@ -204,3 +204,78 @@ def test_native_binary_subtype4_is_uuid():
     # 16 bytes -> canonical UUID string
     out = mdb.decode_value(Binary(b"\xd5\x75\x54\x0f\x75\x9d\x46\x53\xa5\xc7\x4f\x9f\x70\x48\x61\xd5"))
     assert out == "d575540f-759d-4653-a5c7-4f9f704861d5"
+
+
+def test_compile_mongo_direct_matches_lattice(spark):
+    """EP3 DIRECT path vs the Arrow lattice over the same envelopes:
+    insert/replace/delete/drop/poison, canonical wrappers incl. $date."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from commons_codec_spark.functions.mongodb import (
+        compile_mongo_direct_decoder,
+        decode_mongo_cdc,
+    )
+
+    def env(op, oid, doc=None):
+        e = {"operationType": op, "documentKey": {"_id": {"$oid": oid}}}
+        if doc is not None:
+            e["fullDocument"] = doc
+        return _json.dumps(e)
+
+    doc = {
+        "event_id": {"$numberLong": "7"},
+        "event_type": "click",
+        "ts": {"$date": {"$numberLong": "1717243200123"}},
+        "user_id": {"$numberInt": "42"},
+        "value_cents": {"$numberDouble": "199"},
+    }
+    rows = [
+        (env("insert", "a" * 24, doc),),
+        (env("replace", "b" * 24, doc),),
+        (env("delete", "c" * 24),),
+        (env("drop", "d" * 24),),
+        ('{"documentKey": {}}',),  # missing operationType -> poison
+        ("{nope",),
+    ]
+    df = spark.createDataFrame(rows, "event string")
+    cols = {
+        "event_id": "long",
+        "event_type": "string",
+        "ts": "date",
+        "user_id": "int",
+        "value_cents": "double",
+    }
+    direct = compile_mongo_direct_decoder(df, "event", cols).collect()
+    lattice = decode_mongo_cdc(df, "event").collect()
+    assert len(direct) == len(lattice)
+    for d, l in zip(direct, lattice):
+        assert d["op"] == l["op"]
+        assert (d["error"] is None) == (l["error"] is None)
+        if l["op"] in ("insert", "update") and l["record"]:
+            rec = _json.loads(l["record"])
+            assert d["oid"] == l["oid"]
+            assert str(d["event_id"]) == str(rec["event_id"])
+            assert d["event_type"] == rec["event_type"]
+            assert d["ts"] == rec["ts"]  # epoch-ms, second-truncated
+            assert d["user_id"] == rec["user_id"]
+            assert d["value_cents"] == rec["value_cents"]
+
+    plan = (
+        compile_mongo_direct_decoder(df, "event", cols)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_compile_mongo_direct_rejects_unknown_type(spark):
+    import pytest
+
+    from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
+
+    df = spark.createDataFrame([("{}",)], "event string")
+    with pytest.raises(ValueError, match="unsupported DIRECT column types"):
+        compile_mongo_direct_decoder(df, "event", {"x": "complex"})
