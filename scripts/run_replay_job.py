@@ -42,7 +42,7 @@ def main() -> None:
     p.add_argument("--keys", default="repo,path")
     p.add_argument("--stream", action="store_true", help="tail with Structured Streaming")
     p.add_argument(
-        "--dialect", choices=["dynamodb", "dms", "mongodb"], default="dynamodb",
+        "--dialect", choices=["dynamodb", "dms", "mongodb", "auto"], default="dynamodb",
         help="envelope dialect: DynamoDB descriptor images (default), raw DMS "
              "envelopes (expects an `envelope` column), or MongoDB change "
              "streams (expects an `event` column keyed on oid)",
@@ -88,7 +88,14 @@ def main() -> None:
     keys = args.keys.split(",")
     image_columns = dict(SOURCE_CODE_COLUMNS)
     decoder = None
-    if args.dialect == "dms":
+    if args.dialect == "auto":
+        from commons_codec_spark.functions.dynamodb_auto import make_auto_decoder
+
+        # descriptor images with UNKNOWN schema: infer per batch, pin the
+        # spec, widen additively; only the key columns are declared
+        image_columns = {k: "S" for k in keys}
+        decoder = make_auto_decoder()
+    elif args.dialect == "dms":
         from commons_codec_spark.functions.dms import make_dms_decoder
 
         decoder = make_dms_decoder(
