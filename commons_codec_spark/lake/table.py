@@ -134,6 +134,7 @@ class KeyedLakeTable:
         self.keys: list[str] = meta["keys"]
         self.key_schema: dict[str, str] = meta["key_schema"]
         self.n_buckets: int = meta["n_buckets"]
+        self.changelog: bool = bool(meta.get("changelog", False))
 
     # ------------------------------------------------------------------ setup
 
@@ -145,8 +146,15 @@ class KeyedLakeTable:
         key_schema: dict[str, str],
         payload_schema: dict[str, str] | None = None,
         n_buckets: int = 32,
+        changelog: bool = False,
     ) -> "KeyedLakeTable":
-        """Create an empty table.  Schemas are ``{column: spark_ddl_type}``."""
+        """Create an empty table.  Schemas are ``{column: spark_ddl_type}``.
+
+        ``changelog``: persist each merge's net-change rows under
+        ``changes/v{N}`` (Iceberg change-data-feed analog) — see
+        :meth:`read_changes`.  Costs one materialization of the (compact)
+        net per batch, the usual CDF write amplification.
+        """
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         with open(os.path.join(root, "_meta.json"), "w") as fh:
@@ -155,6 +163,7 @@ class KeyedLakeTable:
                     "keys": list(key_schema),
                     "key_schema": key_schema,
                     "n_buckets": n_buckets,
+                    "changelog": changelog,
                 },
                 fh,
             )
@@ -332,6 +341,22 @@ class KeyedLakeTable:
                         "or cast the column consistently from the first "
                         "batch that writes it"
                     )
+        # --- change-data-feed: persist this version's net rows (the
+        # engine's own replayable merge input — a downstream replica
+        # applying each version's changes via merge() converges to this
+        # table's state).  Written BEFORE the commit: a crash leaves an
+        # orphan dir the snapshot never references.
+        if self.changelog and touched:
+            if not materialized:
+                # the CDF write is a second consumer of `net`; persist so
+                # the merge's data write reuses it instead of re-running
+                # decode→fold (documented CDF cost: one materialization)
+                net = net.persist()
+                materialized = True
+            net.drop(BUCKET_COL).write.mode("overwrite").parquet(
+                self._changes_dir(commit["version"] + 1)
+            )
+
         current = self.read(buckets=touched, include_tombstones=True)
 
         # --- merge join on the keys alone (bucket is derived from them, so
@@ -407,6 +432,49 @@ class KeyedLakeTable:
             "rows_written": rows_written,
             "skipped": False,
         }
+
+    # ------------------------------------------------------------------ CDF
+
+    def _changes_dir(self, version: int) -> str:
+        return os.path.join(self.root, "changes", f"v{version:012d}")
+
+    def read_changes(
+        self, since_version: int = 1, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed: net-change rows of versions in
+        ``[since_version, to_version]``, each tagged ``_version``.
+
+        Rows are in the fold's net encoding (keys + aa/aseq/pa/pseq/row/
+        prow_extra) — exactly what :meth:`merge` consumes, so a downstream
+        replica tails this feed with ``for v: replica.merge(changes_at(v))``
+        and converges to this table's state (incl. deletes/tombstones and
+        additive schema evolution; later versions' new ``row`` fields are
+        merged across versions with allowMissingColumns).  Requires the
+        table to have been created with ``changelog=True``.
+        """
+        if not self.changelog:
+            raise ValueError(
+                "table was not created with changelog=True — no change feed"
+            )
+        to_version = (
+            self._current_commit()["version"] if to_version is None else to_version
+        )
+        out = None
+        for v in range(int(since_version), int(to_version) + 1):
+            d = self._changes_dir(v)
+            if not os.path.isdir(d):
+                continue  # version without data changes (e.g. drop_data)
+            df = self.spark.read.parquet(d).withColumn("_version", F.lit(v))
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        if out is None:
+            raise ValueError(
+                f"no change versions in [{since_version}, {to_version}]"
+            )
+        return out
 
     # ------------------------------------------------------------------ misc
 
