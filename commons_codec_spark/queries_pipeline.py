@@ -357,7 +357,62 @@ SELECT doc_id, {_sql_lang_id()} AS lang_guess FROM documents
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data shape in one plan: quality gate ->
+    lang-ID -> exact-dedup -> per-lang yield.  One scan; dedup counted as
+    COUNT(DISTINCT fingerprint) per language (identical normalized text
+    always language-IDs identically, so fingerprints never straddle
+    languages) — partial-aggregated map-side, no window, no self-join.
+    Runs over the duplicate-augmented corpus so the dedup stage has
+    actual work."""
+    d = _augmented_docs(spark, sf_dir)
+    t = F.col("text")
+    stats = d.select(
+        "doc_id",
+        text.quality_score(t).alias("quality"),
+        text.md5_fingerprint(t).alias("fingerprint"),
+        text.lang_id(t).alias("lang_guess"),
+    )
+    cand = stats.filter(F.col("quality") >= 35)
+    return (
+        cand.groupBy("lang_guess")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.countDistinct("fingerprint").cast("long").alias("n_curated"),
+            F.floor(F.avg("quality")).cast("long").alias("avg_quality"),
+        )
+    )
+
+
+_SQL_QUALITY = f"""CAST(FLOOR(
+            0.3 * (least(len(text), 500) * 100 / 500)
+          + 0.3 * FLOOR(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100.0 / greatest(len(text), 1))
+          + 0.3 * least(FLOOR(len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_EN}, t))) * 100.0 /
+                        greatest(len({_SQL_TOKS}), 1)) * 4, 100)
+          + 0.1 * (100 - least(FLOOR(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 100.0 /
+                        greatest(len(text), 1)) * 5, 100))
+       ) AS BIGINT)"""
+
+SQL_CORPUS_CURATION = f"""
+WITH s AS (
+    SELECT doc_id,
+           {_SQL_QUALITY} AS quality,
+           md5({_SQL_NORM}) AS fingerprint,
+           {_sql_lang_id()} AS lang_guess
+    FROM ({_SQL_AUGMENTED})
+)
+SELECT lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_curated,
+       CAST(FLOOR(AVG(quality)) AS BIGINT) AS avg_quality
+FROM s
+WHERE quality >= 35
+GROUP BY lang_guess
+"""
+
+
 PIPELINE_QUERIES = {
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
