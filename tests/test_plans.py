@@ -82,3 +82,20 @@ def test_scan_pushdown_and_pruning(spark, tmp_path):
     pruned = df.filter(F.col("batch_id") == 1)
     pplan = _plan(pruned)
     assert "PartitionFilters: [" in pplan and "batch_id" in pplan.split("PartitionFilters")[1][:120]
+
+
+def test_new_jvm_contract_queries_are_python_free(spark):
+    """The compiled decode variants must never regress to a Python round
+    trip: universal_decode_inferred, telemetry_tts_ttn_jvm,
+    mongo_cdc_decode_jvm, corpus_curation."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "universal_decode_inferred",
+        "telemetry_tts_ttn_jvm",
+        "mongo_cdc_decode_jvm",
+        "corpus_curation",
+    ):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name

@@ -134,3 +134,56 @@ def test_stream_kill_and_resume(spark, tmp_path):
     assert len(keyed) == len(engine)
     oracle = _oracle_state(events.collect())
     assert state_hash(engine, COLUMNS) == state_hash(list(oracle.values()), COLUMNS)
+
+
+def test_stream_auto_dialect_with_changelog(spark, tmp_path):
+    """Structured Streaming x schema-inferring decoder x change-data-feed:
+    the streamed table's CDF, replayed into a batch replica, reproduces
+    the streamed final state exactly."""
+    from commons_codec_spark.functions.dynamodb_auto import make_auto_decoder
+
+    events = generate_event_log(
+        spark, n_events=2000, n_keys=200, n_repos=8, seed=17, batch_size=500
+    ).cache()
+    src = _write_stream_dir(spark, events, str(tmp_path / "stream-ac"), 4)
+
+    table = KeyedLakeTable.create(
+        spark,
+        str(tmp_path / "ac-tbl"),
+        key_schema={"repo": "string", "path": "string"},
+        n_buckets=4,
+        changelog=True,
+    )
+    cfg = PipelineConfig(
+        keys=KEYS,
+        image_columns={"repo": "S", "path": "S"},  # rest inferred per batch
+        decoder=make_auto_decoder(),
+    )
+    pipe = CDCPipeline(
+        spark, table, cfg, checkpoint_dir=str(tmp_path / "ac-ckpt")
+    )
+    q = pipe.run_stream(src, schema=_schema_ddl(events), max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    # the stream matched the oracle...
+    engine = [r.asDict() for r in table.read().collect()]
+    oracle = _oracle_state(events.collect())
+    assert len(engine) == len(oracle)
+    assert state_hash(engine, COLUMNS) == state_hash(list(oracle.values()), COLUMNS)
+
+    # ...and its change feed replays into a converging replica
+    replica = KeyedLakeTable.create(
+        spark,
+        str(tmp_path / "ac-replica"),
+        key_schema={"repo": "string", "path": "string"},
+        n_buckets=4,
+    )
+    head = table._current_commit()["version"]
+    for v in range(1, head + 1):
+        try:
+            replica.merge(table.read_changes(v, v).drop("_version"))
+        except ValueError:
+            continue
+    rep = [r.asDict() for r in replica.read().collect()]
+    assert state_hash(rep, COLUMNS) == state_hash(engine, COLUMNS)
