@@ -99,3 +99,58 @@ def test_feed_total_rows_bounded_by_events(spark, tmp_path):
     head = src._current_commit()["version"]
     assert feed_rows <= head * max(distinct_keys, 1)
     assert feed_rows > 0
+
+
+def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
+    """The CDF dir is written BEFORE the snapshot commit.  A crash in
+    that window leaves an orphan changes/v{N} no commit references; the
+    retried merge rewrites it (mode=overwrite) and the feed stays
+    consistent with the committed history."""
+    src = KeyedLakeTable.create(
+        spark, str(tmp_path / "crash"), key_schema=KEY_SCHEMA, n_buckets=2,
+        changelog=True,
+    )
+    log = generate_event_log(
+        spark, n_events=800, n_keys=80, n_repos=4, seed=29, batch_size=400
+    ).cache()
+    cfg = PipelineConfig(keys=KEYS, image_columns=SOURCE_CODE_COLUMNS)
+
+    # crash: fail the data write AFTER the changes dir is on disk
+    real_write_commit = src._write_commit
+    calls = {"n": 0}
+
+    def exploding_commit(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash after CDF write, before commit")
+        return real_write_commit(*a, **kw)
+
+    src._write_commit = exploding_commit
+    pipe = CDCPipeline(spark, src, cfg)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run_replay(log)
+    assert src._current_commit()["version"] == 0  # nothing committed
+    import os as _os
+
+    orphan = src._changes_dir(1)
+    assert _os.path.isdir(orphan)  # the orphan CDF dir exists...
+
+    # resume: fresh pipeline, full redelivery — overwrites the orphan
+    src._write_commit = real_write_commit
+    CDCPipeline(spark, src, cfg).run_replay(log)
+    head = src._current_commit()["version"]
+    assert head >= 2
+
+    replica = KeyedLakeTable.create(
+        spark, str(tmp_path / "crash-replica"), key_schema=KEY_SCHEMA, n_buckets=2
+    )
+    for v in range(1, head + 1):
+        try:
+            replica.merge(src.read_changes(v, v).drop("_version"))
+        except ValueError:
+            continue
+    assert _rows(replica, include_tombstones=True) == _rows(
+        src, include_tombstones=True
+    )

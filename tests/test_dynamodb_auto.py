@@ -239,3 +239,63 @@ def test_auto_decoder_raises_on_type_flip(spark):
         assert False, "type flip must raise"
     except ValueError as exc:
         assert "changed shape" in str(exc)
+
+
+def test_random_corpus_agreement_with_kernel(spark):
+    """Seeded random images (nested M/L, sets, conflicts impossible here
+    since every doc shares the generator): decode_auto's typed output
+    must agree value-for-value with the reference kernel's decode."""
+    import random
+
+    from commons_codec_spark.functions.dynamodb import decode_record
+    from test_dynamodb_jvm import _rand_descriptor
+
+    rng = random.Random(23)
+    images = []
+    for i in range(60):
+        img = {"id": {"S": f"k{i:03d}"}}
+        for j in range(rng.randint(1, 4)):
+            img[f"c{j}"] = _rand_descriptor(rng, 2)
+        images.append(img)
+    df = _df(spark, images)
+    out, spec = decode_auto(df, max_depth=3)
+    got = {r["id"]: r.asDict() for r in out.collect()}
+
+    def norm(v):
+        # Spark Rows -> dicts, lists recurse; floats already aligned
+        if hasattr(v, "asDict"):
+            return {k: norm(x) for k, x in v.asDict().items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        return v
+
+    for img in images:
+        ref = decode_record(img)["typed"]
+        row = got[ref["id"]]
+        for field, refv in ref.items():
+            if field == "id":
+                continue
+            spec_f = spec.get(field)
+            if spec_f is None or spec_f.kind == "opaque":
+                # opaque fields surface raw text; kernel-decoded form not
+                # comparable — covered by the opaque-specific tests
+                continue
+            gotv = norm(row[field])
+            if isinstance(refv, dict):
+                # struct decode drops nothing observed; missing keys are None
+                for k, rv in refv.items():
+                    assert _loose_eq(gotv.get(k), rv), (field, k, gotv, refv)
+            else:
+                assert _loose_eq(gotv, refv), (field, gotv, refv)
+
+
+def _loose_eq(a, b):
+    if isinstance(b, dict):
+        return isinstance(a, dict) and all(_loose_eq(a.get(k), v) for k, v in b.items())
+    if isinstance(b, list):
+        return isinstance(a, list) and len(a) == len(b) and all(
+            _loose_eq(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(b, float) and a is not None:
+        return abs(float(a) - b) < 1e-9
+    return a == b
