@@ -476,6 +476,32 @@ class KeyedLakeTable:
             )
         return out
 
+    def stream_changes(self) -> DataFrame:
+        """Structured-Streaming form of the feed: ``readStream`` over
+        ``changes/``, picking up each new version's files as its merge
+        lands.  Schema is the newest version's (evolution is additive, so
+        it is a superset; older files null-fill missing ``row`` fields).
+        The version of a row is derivable from ``input_file_name()``;
+        at-least-once per file, so downstream sinks should be idempotent
+        on (keys, aseq/pseq) — e.g. another KeyedLakeTable.merge.
+        """
+        if not self.changelog:
+            raise ValueError(
+                "table was not created with changelog=True — no change feed"
+            )
+        changes_root = os.path.join(self.root, "changes")
+        dirs = sorted(
+            d for d in os.listdir(changes_root) if d.startswith("v")
+        ) if os.path.isdir(changes_root) else []
+        if not dirs:
+            raise ValueError("change feed is empty — nothing to infer a schema from")
+        schema = self.spark.read.parquet(
+            os.path.join(changes_root, dirs[-1])
+        ).schema
+        return self.spark.readStream.schema(schema).parquet(
+            os.path.join(changes_root, "v*")
+        )
+
     # ------------------------------------------------------------------ misc
 
     def drop_data(self) -> None:
@@ -548,3 +574,20 @@ class KeyedLakeTable:
         for version_dir in os.listdir(data_dir):
             if version_dir not in live:
                 shutil.rmtree(os.path.join(data_dir, version_dir), ignore_errors=True)
+
+    def vacuum_changes(self, keep_since_version: int) -> int:
+        """CDF retention: drop change dirs of versions < keep_since_version.
+
+        Vacuum never touches the feed (consumers may lag arbitrarily);
+        retention is an explicit caller decision — expire versions every
+        consumer has acknowledged.  Returns the number of dirs reclaimed.
+        """
+        changes_root = os.path.join(self.root, "changes")
+        if not os.path.isdir(changes_root):
+            return 0
+        dropped = 0
+        for d in os.listdir(changes_root):
+            if d.startswith("v") and int(d[1:]) < int(keep_since_version):
+                shutil.rmtree(os.path.join(changes_root, d), ignore_errors=True)
+                dropped += 1
+        return dropped

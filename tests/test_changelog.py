@@ -154,3 +154,31 @@ def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
     assert _rows(replica, include_tombstones=True) == _rows(
         src, include_tombstones=True
     )
+
+
+def test_stream_changes_and_retention(spark, tmp_path):
+    """The feed is streaming-consumable (readStream picks up every
+    version's net rows) and retention is an explicit, bounded operation."""
+    src = _replay_source(spark, tmp_path, n_events=2000)
+    head = src._current_commit()["version"]
+
+    batch_rows = src.read_changes().count()
+    stream = src.stream_changes()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT count(*) c FROM cdf_stream").collect()[0]["c"]
+    assert streamed == batch_rows
+
+    # retention: expire everything before the head version
+    dropped = src.vacuum_changes(keep_since_version=head)
+    assert dropped >= 1
+    remaining = src.read_changes()
+    versions_left = [
+        r[0] for r in remaining.select("_version").distinct().collect()
+    ]
+    assert versions_left == [head]
