@@ -51,7 +51,9 @@ def _materialized(df: DataFrame, workdir: str) -> DataFrame:
 _FL_IMG_COLUMNS = {"cid": "N", "name": "S", "acct_cents": "N"}
 
 
-def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _full_load_workload(spark: SparkSession, sf_dir: str):
+    """The S4 workload (bulk load + one CDC batch), shared by the direct
+    query and the changelog-replica query — one oracle, two read paths."""
     cust = _t(spark, sf_dir, "customer")
     cid = F.col("c_custkey").cast("long")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
@@ -81,7 +83,11 @@ def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             cid + 1_000_000, F.concat(F.lit("new-"), cid), F.lit(0).cast("long")
         ).alias("image"),
     )
-    cdc = upd.unionAll(dele).unionAll(ins)
+    return full, upd.unionAll(dele).unionAll(ins)
+
+
+def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full, cdc = _full_load_workload(spark, sf_dir)
 
     work = tempfile.mkdtemp(prefix="ccs-flq-")
     table = KeyedLakeTable.create(
@@ -92,6 +98,41 @@ def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.full_load(full, seq=0)
     pipe.apply_batch(cdc, batch_id=1)
     state = table.read().select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("name"),
+        F.col("acct_cents").cast("long").alias("acct_cents"),
+    )
+    return _materialized(state, work)
+
+
+def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same S4 workload, but the RESULT is read from a replica built
+    ONLY from the source table's change-data-feed (lake CDF): full load +
+    CDC land in a changelog table, each version's net rows replay into a
+    second table via merge(), and the replica's final state must equal
+    the direct query's oracle — deletes, upserts and all."""
+    full, cdc = _full_load_workload(spark, sf_dir)
+
+    work = tempfile.mkdtemp(prefix="ccs-cdfq-")
+    src = KeyedLakeTable.create(
+        spark, f"{work}/src", key_schema={"cid": "double"}, n_buckets=8,
+        changelog=True,
+    )
+    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    pipe = CDCPipeline(spark, src, cfg)
+    pipe.full_load(full, seq=0)
+    pipe.apply_batch(cdc, batch_id=1)
+
+    replica = KeyedLakeTable.create(
+        spark, f"{work}/replica", key_schema={"cid": "double"}, n_buckets=8
+    )
+    head = src._current_commit()["version"]
+    for v in range(1, head + 1):
+        try:
+            replica.merge(src.read_changes(v, v).drop("_version"))
+        except ValueError:
+            continue  # version without data changes
+    state = replica.read().select(
         F.col("cid").cast("long").alias("cid"),
         F.col("name"),
         F.col("acct_cents").cast("long").alias("acct_cents"),
@@ -287,6 +328,7 @@ FROM events
 
 ENGINE_QUERIES = {
     "cdc_full_load_then_cdc": (q_full_load_then_cdc, SQL_FULL_LOAD_THEN_CDC),
+    "cdc_changelog_replica": (q_changelog_replica, SQL_FULL_LOAD_THEN_CDC),
     "cdc_control_drop_reset": (q_control_drop_reset, SQL_CONTROL_DROP_RESET),
     "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),
     "dynamodb_source_guard": (q_source_guard, SQL_SOURCE_GUARD),
