@@ -295,9 +295,9 @@ def decode_universal_jvm(
     Adds the same ``pk``/``typed``/``untyped``/``error`` columns
     (JSON-encoded bucket values).  Rows nesting deeper than ``max_depth``
     M/L levels are decoded by the Arrow kernel when ``fallback`` is True
-    (flagged in ``_deep`` otherwise).  Expression size is
-    O(2^``max_depth``); 4 covers real CDC traffic with a ~16x-unrolled
-    tree, and the fallback keeps any depth correct.
+    (flagged in ``_deep`` otherwise).  Expression size is LINEAR in
+    ``max_depth`` (M and L share one recursion site); 4 covers real CDC
+    traffic, and the fallback keeps any depth correct.
     """
     op, keys_json, image = F.col(op_col), F.col(keys_col), F.col(image_col)
 
