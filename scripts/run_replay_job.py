@@ -52,6 +52,21 @@ def main() -> None:
     p.add_argument("--cpus", type=int, default=None, help="local mode only")
     p.add_argument("--selftest", action="store_true", help="generate a synthetic log and replay it")
     p.add_argument(
+        "--changelog", action="store_true",
+        help="create the table with a change-data-feed (changes/v{N}; "
+             "read back with KeyedLakeTable.read_changes/stream_changes)",
+    )
+    p.add_argument(
+        "--replicate-from", metavar="SRC_TABLE",
+        help="instead of decoding envelopes, tail SRC_TABLE's change feed "
+             "and merge it into --table (downstream replica); --events is "
+             "not required",
+    )
+    p.add_argument(
+        "--expire-changes-before", type=int, metavar="V",
+        help="maintenance: drop change-feed versions < V after the run",
+    )
+    p.add_argument(
         "--compact-tombstones", type=int, metavar="SEQ", default=None,
         help="maintenance: drop delete tombstones with seq older than SEQ "
              "(the source's out-of-order horizon) after the replay",
@@ -82,7 +97,10 @@ def main() -> None:
             batch_size=50_000,
         ).write.mode("overwrite").partitionBy("batch_id").parquet(args.events)
 
-    if not (args.events and args.table and args.checkpoint):
+    if args.replicate_from:
+        if not args.table:
+            p.error("--replicate-from needs --table for the replica")
+    elif not (args.events and args.table and args.checkpoint):
         p.error("--events, --table and --checkpoint are required (or --selftest)")
 
     keys = args.keys.split(",")
@@ -123,6 +141,7 @@ def main() -> None:
             spark, args.table,
             key_schema={k: "string" for k in keys},
             n_buckets=args.buckets,
+            changelog=args.changelog,
         )
     pipe = CDCPipeline(
         spark,
@@ -137,6 +156,28 @@ def main() -> None:
         checkpoint_dir=args.checkpoint,
     )
 
+    if args.replicate_from:
+        src = KeyedLakeTable(spark, args.replicate_from)
+        head = src.version()
+        applied = 0
+        for v in range(1, head + 1):
+            try:
+                changes = src.read_changes(v, v).drop("_version")
+            except ValueError:
+                continue
+            table.merge(changes)
+            applied += 1
+        print(json.dumps({
+            "replicated_from": args.replicate_from,
+            "source_version": head,
+            "change_versions_applied": applied,
+            "final_rows": table.read().count(),
+        }))
+        if args.expire_changes_before is not None:
+            src.vacuum_changes(args.expire_changes_before)
+        spark.stop()
+        return
+
     if args.stream:
         events_schema = spark.read.parquet(args.events).drop("batch_id").schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in events_schema)
@@ -149,6 +190,8 @@ def main() -> None:
         print(json.dumps(table.compact_tombstones(args.compact_tombstones)))
     if args.vacuum_keep is not None:
         table.vacuum(keep_last=args.vacuum_keep)
+    if args.expire_changes_before is not None:
+        table.vacuum_changes(args.expire_changes_before)
 
     for m in pipe.metrics:
         print(json.dumps(m))
