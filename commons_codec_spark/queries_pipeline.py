@@ -411,8 +411,45 @@ GROUP BY lang_guess
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep 100% of src0 docs,
+    20% of src1, 5% of everything else — membership is a pure hash
+    filter (no shuffle, no state), so the same rows are kept on any
+    cluster size and a raised fraction is a superset."""
+    from commons_codec_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.2},
+        default_fraction=0.05, seed=7,
+    )
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH hashed AS (
+    SELECT doc_id, source,
+           (((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS u,
+           CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.2
+                ELSE 0.05 END AS frac
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM hashed WHERE u < frac
+GROUP BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "corpus_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),

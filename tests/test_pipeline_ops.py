@@ -221,3 +221,36 @@ def test_top_ngrams(spark):
     # plan hygiene: global top-k must be TakeOrdered, not a one-partition sort
     plan = text.top_ngrams(df, "text", n=3, k=3, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_deterministic_sampling_properties(spark):
+    """Membership is a pure function of (seed, id): stable across
+    partitionings, and a larger fraction keeps a superset (corpus can
+    grow without resampling the old part)."""
+    import pyspark.sql.functions as F
+
+    from commons_codec_spark.operators import sampling
+
+    df = spark.range(0, 5000).withColumn(
+        "stratum", F.when(F.col("id") % 3 == 0, "a").otherwise("b")
+    )
+    small = {r[0] for r in sampling.sample_fraction(df, "id", 0.1, seed=5).collect()}
+    small2 = {
+        r[0]
+        for r in sampling.sample_fraction(df.repartition(7), "id", 0.1, seed=5).collect()
+    }
+    big = {r[0] for r in sampling.sample_fraction(df, "id", 0.3, seed=5).collect()}
+    assert small == small2  # partitioning-independent
+    assert small < big  # fraction monotonicity: strict superset
+    assert abs(len(small) / 5000 - 0.1) < 0.02  # roughly calibrated
+
+    strat = sampling.stratified_sample(
+        df, "id", "stratum", {"a": 1.0}, default_fraction=0.0, seed=5
+    )
+    rows = strat.groupBy("stratum").count().collect()
+    got = {r["stratum"]: r["count"] for r in rows}
+    assert got.get("a") == df.filter(F.col("stratum") == "a").count()
+    assert "b" not in got
+
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle
