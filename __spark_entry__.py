@@ -33,12 +33,15 @@ def _ensure_worker_path(spark: SparkSession) -> None:
     import zipfile
 
     zip_path = os.path.join("/tmp", "commons_codec_spark_pkg.zip")
-    if not os.path.exists(zip_path):
+    sources = glob.glob(
+        os.path.join(_REPO, "commons_codec_spark", "**", "*.py"), recursive=True
+    )
+    newest = max(os.path.getmtime(f) for f in sources)
+    # rebuild when any source is newer — a stale cached zip would shadow
+    # current code inside Python workers
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for f in glob.glob(
-                os.path.join(_REPO, "commons_codec_spark", "**", "*.py"),
-                recursive=True,
-            ):
+            for f in sources:
                 zf.write(f, os.path.relpath(f, _REPO))
     try:
         spark.sparkContext.addPyFile(zip_path)
