@@ -286,6 +286,7 @@ def decode_inferred(
     image_col: str = "image",
     prefix: str = "",
     conformance_col: str | None = None,
+    error_col: str | None = None,
 ) -> DataFrame:
     """Compile ``spec`` into one typed from_json projection (JVM, codegen).
 
@@ -301,6 +302,11 @@ def decode_inferred(
     (``json_object_keys``, no value materialization).  Field-NAME level
     only: a known name carrying an unseen marker still decodes null —
     full inference (the default) is exact and needs no flag.
+
+    ``error_col``: name a column to mark rows whose image is unparseable
+    JSON (PERMISSIVE corrupt-record capture) — without it such rows just
+    decode all-null, which the pipeline still DLQs via null keys, but the
+    explicit marker makes poison routing diagnosable.
     """
     typed = {n: s for n, s in spec.items() if s.kind != "opaque"}
     opaque = [n for n, s in spec.items() if s.kind == "opaque"]
@@ -319,6 +325,20 @@ def decode_inferred(
         for n, s in typed.items()
     ]
     proj += [F.col("__raw")[n].alias(prefix + n) for n in opaque]
+    if error_col is not None:
+        corrupt = F.from_json(
+            F.col(image_col),
+            "struct<_corrupt: string>",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        )["_corrupt"]
+        proj.append(
+            F.when(
+                F.col(image_col).isNotNull() & corrupt.isNotNull(),
+                F.lit("DecodeError: unparseable image JSON"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias(error_col)
+        )
     if conformance_col is not None:
         known = F.array(*[F.lit(n) for n in spec]) if spec else F.array().cast(_ARR)
         proj.append(

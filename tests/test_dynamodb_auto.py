@@ -299,3 +299,16 @@ def _loose_eq(a, b):
     if isinstance(b, float) and a is not None:
         return abs(float(a) - b) < 1e-9
     return a == b
+
+
+def test_error_col_marks_unparseable_images(spark):
+    df = spark.createDataFrame(
+        [(json.dumps({"a": {"S": "x"}}),), ("{broken",), (None,)],
+        "image string",
+    )
+    spec = infer_image_schema(df)
+    rows = decode_inferred(df, spec, error_col="error").collect()
+    by_img = {(r["image"] or "NULL")[:4]: r for r in rows}
+    assert by_img['{"a\"']["error"] is None and by_img['{"a\"']["a"] == "x"
+    assert by_img["{bro"]["error"] is not None and by_img["{bro"]["a"] is None
+    assert by_img["NULL"]["error"] is None  # absent image is not poison
