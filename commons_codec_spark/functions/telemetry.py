@@ -334,3 +334,106 @@ def decode_tts_ttn_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame
         .alias("reading"),
         err.alias("error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JVM forms of the fixed-shape decoders (D11 Tasmota state, D12
+# Sensor.Community) — same reading/error contract as decode_telemetry;
+# reading values are the raw scalar texts (identical after the pivot's
+# casts).  Only the recursive Tasmota *sensor* flatten stays Arrow-only.
+# ---------------------------------------------------------------------------
+
+TASMOTA_STATE_SCHEMA = (
+    "struct<Time: string, Vcc: string, Sleep: string, LoadAvg: string,"
+    " Wifi: struct<Channel: string, RSSI: string, LinkCount: string>,"
+    " _corrupt: string>"
+)
+
+
+def decode_tasmota_state_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Tasmota STATE decode as one typed ``from_json`` (fixed projection,
+    ``decode/tasmota.py:115-150`` analog)."""
+    p = F.from_json(
+        F.col(payload_col),
+        TASMOTA_STATE_SCHEMA,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = p.isNull() | p["_corrupt"].isNotNull()
+    fields = {
+        "Time": p["Time"],
+        "Device.Vcc": p["Vcc"],
+        "Device.Sleep": p["Sleep"],
+        "Device.LoadAvg": p["LoadAvg"],
+        "Device.Wifi.Channel": p["Wifi"]["Channel"],
+        "Device.Wifi.RSSI": p["Wifi"]["RSSI"],
+        "Device.Wifi.LinkCount": p["Wifi"]["LinkCount"],
+    }
+    reading = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in fields]),
+        F.array(*fields.values()),
+    )
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(
+        *keep,
+        F.when(~bad, reading).alias("reading"),
+        F.when(bad, F.lit("DecodeError: unparseable Tasmota state"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error"),
+    )
+
+
+SENSOR_COMMUNITY_SCHEMA = (
+    "struct<sensordatavalues: array<struct<value_type: string, value: string>>,"
+    " _corrupt: string>"
+)
+
+
+def decode_sensor_community_jvm(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Sensor.Community decode as column expressions: explode-free
+    ``map_from_entries`` over ``sensordatavalues``; duplicate value_types
+    keep the LAST occurrence (dict semantics of the kernel) via an
+    indexed filter — lists are ~10 entries, so the per-element lookahead
+    is trivial."""
+    p = F.from_json(
+        F.col(payload_col),
+        SENSOR_COMMUNITY_SCHEMA,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = p.isNull() | p["_corrupt"].isNotNull()
+    arr = F.coalesce(
+        p["sensordatavalues"],
+        F.array().cast("array<struct<value_type: string, value: string>>"),
+    )
+    from ..colutil import let
+
+    def dedup_last(a: Column) -> Column:
+        n = F.size(a)
+        return F.filter(
+            a,
+            lambda x, i: ~F.exists(
+                F.slice(a, i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: y["value_type"] == x["value_type"],
+            ),
+        )
+
+    reading = let(
+        arr,
+        lambda a: F.map_from_entries(
+            F.transform(
+                dedup_last(a),
+                lambda x: F.struct(
+                    x["value_type"].alias("key"), x["value"].alias("value")
+                ),
+            )
+        ),
+    )
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(
+        *keep,
+        F.when(~bad, reading).alias("reading"),
+        F.when(bad, F.lit("DecodeError: unparseable Sensor.Community payload"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error"),
+    )

@@ -313,6 +313,35 @@ def q_tasmota_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tasmota_state_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 as one typed from_json (decode_tasmota_state_jvm) — same
+    envelopes, same pivot, same oracle, no Python workers."""
+    from commons_codec_spark.functions.telemetry import decode_tasmota_state_jvm
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.format_string(
+        '{"Time":"%s","Vcc":%d,"Sleep":%d,"LoadAvg":%d,'
+        '"Wifi":{"Channel":%d,"RSSI":%d,"LinkCount":%d}}',
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("user_id") % 40, F.col("event_id") % 100, F.col("user_id") % 20,
+        F.col("user_id") % 11 + 1, -(F.col("user_id") % 60 + 30),
+        F.col("event_id") % 5,
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_tasmota_state_jvm(env, "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        F.translate(r["Time"], '"', "").alias("time_s"),
+        r["Device.Vcc"].cast("long").alias("vcc"),
+        r["Device.Sleep"].cast("long").alias("sleep"),
+        r["Device.LoadAvg"].cast("long").alias("loadavg"),
+        r["Device.Wifi.Channel"].cast("long").alias("wifi_channel"),
+        r["Device.Wifi.RSSI"].cast("long").alias("wifi_rssi"),
+        r["Device.Wifi.LinkCount"].cast("long").alias("wifi_links"),
+    )
+
+
 SQL_TASMOTA_STATE = """
 SELECT event_id,
        strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
@@ -333,4 +362,5 @@ ENGINE_QUERIES = {
     "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),
     "dynamodb_source_guard": (q_source_guard, SQL_SOURCE_GUARD),
     "telemetry_tasmota_state": (q_tasmota_state, SQL_TASMOTA_STATE),
+    "telemetry_tasmota_state_jvm": (q_tasmota_state_jvm, SQL_TASMOTA_STATE),
 }

@@ -308,6 +308,31 @@ def q_sensor_community_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sensor_community_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 as column expressions (decode_sensor_community_jvm): same
+    payloads and oracle; explode-free map_from_entries, last-wins dup
+    keys, no Python workers."""
+    from commons_codec_spark.functions.telemetry import decode_sensor_community_jvm
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"sensordatavalues":[{"value_type":"P1","value":"%d"},'
+        '{"value_type":"samples","value":"%d"},'
+        '{"value_type":"note","value":"x%d"}]}',
+        cents, F.col("user_id") % 50, F.col("user_id"),
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_sensor_community_jvm(env, "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        r["P1"].cast("double").cast("long").alias("p1"),
+        r["samples"].cast("long").alias("samples"),
+        F.translate(r["note"], '"', "").alias("note"),
+    )
+
+
 SQL_SENSOR_COMMUNITY = """
 SELECT event_id,
        CAST(round(value * 100) AS BIGINT) AS p1,
@@ -787,6 +812,7 @@ EXTRA_QUERIES = {
     "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
+    "telemetry_sensor_community_jvm": (q_sensor_community_decode_jvm, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "similarity_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

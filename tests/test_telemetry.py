@@ -187,3 +187,70 @@ def test_tts_ttn_jvm_matches_arrow_kernel(spark):
 
     plan = decode_tts_ttn_jvm(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_tasmota_state_and_sensor_community_jvm_match_kernels(spark):
+    """The two fixed-shape JVM decoders vs their Arrow kernels, including
+    poison rows and duplicate value_type keys (dict last-wins)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from commons_codec_spark.functions.telemetry import (
+        decode_sensor_community_jvm,
+        decode_tasmota_state_jvm,
+        decode_telemetry,
+        readings_to_columns,
+    )
+
+    st = _json.dumps(
+        {
+            "Time": "2024-06-01T10:00:00",
+            "Vcc": 3.2,
+            "Sleep": 50,
+            "LoadAvg": 19,
+            "Wifi": {"Channel": 11, "RSSI": 72, "LinkCount": 1},
+        }
+    )
+    df = spark.createDataFrame(
+        [(1, st), (2, "{bad"), (3, None)], "event_id long, payload string"
+    )
+    cols = {
+        "Time": "string",
+        "Device.Vcc": "double",
+        "Device.Sleep": "long",
+        "Device.Wifi.RSSI": "long",
+        "Device.Wifi.LinkCount": "long",
+    }
+    a = readings_to_columns(decode_telemetry(df, "tasmota_state"), cols).orderBy("event_id").collect()
+    b = readings_to_columns(decode_tasmota_state_jvm(df), cols).orderBy("event_id").collect()
+    for x, y in zip(a, b):
+        for k in cols:
+            assert x[k] == y[k], (k, x[k], y[k])
+        assert (x["error"] is None) == (y["error"] is None)
+
+    sc = _json.dumps(
+        {
+            "sensordatavalues": [
+                {"value_type": "P1", "value": "12.5"},
+                {"value_type": "signal", "value": "-71"},
+                {"value_type": "note", "value": "ok"},
+                {"value_type": "P1", "value": "99"},  # dup: last wins
+            ]
+        }
+    )
+    df2 = spark.createDataFrame(
+        [(1, sc), (2, "{x")], "event_id long, payload string"
+    )
+    cols2 = {"P1": "double", "signal": "long", "note": "string"}
+    a2 = readings_to_columns(decode_telemetry(df2, "sensor_community"), cols2).orderBy("event_id").collect()
+    b2 = readings_to_columns(decode_sensor_community_jvm(df2), cols2).orderBy("event_id").collect()
+    for x, y in zip(a2, b2):
+        for k in cols2:
+            assert x[k] == y[k], (k, x[k], y[k])
+        assert (x["error"] is None) == (y["error"] is None)
+    assert b2[0]["P1"] == 99.0
+
+    for d in (decode_tasmota_state_jvm(df), decode_sensor_community_jvm(df2)):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
