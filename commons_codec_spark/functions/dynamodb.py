@@ -304,7 +304,12 @@ def _decode_field(struct_col: Column, name: str, marker: str) -> Column:
     if marker == "S" or marker == "B":
         out = raw
     elif marker == "N":
-        out = raw.cast("double")
+        # try_cast, not cast: the session runs ANSI mode (Spark 4 default),
+        # where one malformed numeric payload ({"a":{"N":"zz"}}) would
+        # throw CAST_INVALID_INPUT and kill the whole batch.  A poison
+        # value decodes NULL instead and routes to the DLQ via null keys —
+        # the decoder stays total.
+        out = raw.try_cast("double")
     elif marker == "BOOL":
         out = raw
     elif marker == "NULL":
@@ -312,7 +317,7 @@ def _decode_field(struct_col: Column, name: str, marker: str) -> Column:
     elif marker == "SS" or marker == "BS":
         out = F.array_sort(raw)
     elif marker == "NS":
-        out = F.array_sort(F.transform(raw, lambda x: x.cast("double")))
+        out = F.array_sort(F.transform(raw, lambda x: x.try_cast("double")))
     else:  # pragma: no cover — guarded in image_schema
         raise ValueError(marker)
     return out.alias(name)

@@ -252,13 +252,18 @@ def _decode_spec(raw: Column, spec: FieldSpec) -> Column:
         if m in ("S", "B", "BOOL"):
             return v
         if m == "N":
-            return v.cast("double")
+            # try_cast: under ANSI mode (Spark 4 default) a malformed
+            # numeric payload must decode NULL (DLQ route), not throw
+            # CAST_INVALID_INPUT and kill the batch — inference inspects
+            # markers only, never payload validity, so the decode itself
+            # has to stay total.
+            return v.try_cast("double")
         if m == "NULL":
             return F.lit(None).cast("string")
         if m in ("SS", "BS"):
             return F.array_sort(v)
         if m == "NS":
-            return F.array_sort(F.transform(v, lambda x: x.cast("double")))
+            return F.array_sort(F.transform(v, lambda x: x.try_cast("double")))
     if spec.kind == "M":
         if not spec.children:
             # typeless empty struct is unrepresentable; empty map instead

@@ -462,20 +462,23 @@ def _mongo_direct_field(doc: Column, name: str, typ: str,
     """Unwrap one canonical Extended-JSON field to its decoded value,
     matching :func:`decode_extended_json` for that marker."""
     raw = doc[name]
+    # numeric unwraps use try_cast: the session runs ANSI mode, where one
+    # malformed $number* payload would throw CAST_INVALID_INPUT and kill
+    # the batch; a poison value decodes NULL instead (DLQ via null keys).
     if typ == "string" or typ == "bool":
         out = raw
     elif typ == "oid":
         out = raw["$oid"]
     elif typ == "int":
-        out = raw["$numberInt"].cast("long")
+        out = raw["$numberInt"].try_cast("long")
     elif typ == "long":
         out = raw["$numberLong"]  # reference stringifies bson.Int64
     elif typ == "double":
-        out = raw["$numberDouble"].cast("double")
+        out = raw["$numberDouble"].try_cast("double")
     elif typ == "decimal":
         out = raw["$numberDecimal"]
     elif typ == "date":
-        ms = raw["$date"]["$numberLong"].cast("long")
+        ms = raw["$date"]["$numberLong"].try_cast("long")
         if config.timestamp_to_epoch and config.timestamp_use_milliseconds:
             out = (F.floor(ms / 1000) * 1000).cast("long")
         elif config.timestamp_to_epoch:

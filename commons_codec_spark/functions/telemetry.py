@@ -247,9 +247,19 @@ def decode_tts_ttn_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame
     are the raw scalar texts (the kernel JSON-encodes, so its strings are
     quoted) — identical after :func:`readings_to_columns`' casts, which is
     the shape both feed; (2) an uplink with a *present but structurally
-    broken* inner section (e.g. ``settings`` missing ``data_rate``)
-    decodes as absent keys instead of the kernel's poison-row error —
-    only unparseable JSON sets ``error`` here.
+    broken* inner section (e.g. ``settings`` missing ``data_rate``, or a
+    non-numeric ``bandwidth``/``frequency`` — try_cast keeps the decode
+    total under ANSI mode) decodes as absent keys instead of the kernel's
+    poison-row error — only unparseable JSON sets ``error`` here.
+
+    Duplicate keys — a ``decoded_payload`` key colliding with a derived
+    key (``device_id``/``bw``/``gw_*``/...) or a repeated ``gateway_id``
+    in ``rx_metadata`` — keep the LAST entry in assembly order, exactly
+    the kernel's dict-assignment semantics (``decode/tts_ttn.py:29-73``
+    assigns in the same order this concat lists them).  Without the
+    explicit dedup, ``map_from_entries`` under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would throw
+    DUPLICATED_MAP_KEY and kill the job on such a row.
     """
     p = F.from_json(
         F.col(payload_col),
@@ -299,17 +309,17 @@ def decode_tts_ttn_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame
         _opt_entry(p["received_at"].isNotNull(), "timestamp", p["received_at"]),
         payload_entries,
         _opt_entry(
-            lora["bandwidth"].isNotNull(),
+            lora["bandwidth"].try_cast("double").isNotNull(),
             "bw",
-            (lora["bandwidth"].cast("double") / 1000).cast("string"),
+            (lora["bandwidth"].try_cast("double") / 1000).cast("string"),
         ),
         _opt_entry(
             lora["spreading_factor"].isNotNull(), "sf", lora["spreading_factor"]
         ),
         _opt_entry(
-            up["settings"]["frequency"].isNotNull(),
+            up["settings"]["frequency"].try_cast("double").isNotNull(),
             "freq",
-            (up["settings"]["frequency"].cast("double") / 1e6).cast("string"),
+            (up["settings"]["frequency"].try_cast("double") / 1e6).cast("string"),
         ),
         _opt_entry(up["f_cnt"].isNotNull(), "counter", up["f_cnt"]),
         _opt_entry(
@@ -326,10 +336,15 @@ def decode_tts_ttn_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame
         bad, F.lit("DecodeError: unparseable TTS/TTN payload")
     ).otherwise(F.lit(None).cast("string"))
 
+    from ..colutil import dedup_entries_last, let
+
+    reading = let(
+        entries, lambda a: F.map_from_entries(dedup_entries_last(a))
+    )
     keep = [c for c in df.columns if c != payload_col]
     return df.select(
         *keep,
-        F.when(~bad, F.map_from_entries(entries))
+        F.when(~bad, reading)
         .otherwise(F.lit(None).cast("map<string,string>"))
         .alias("reading"),
         err.alias("error"),
@@ -406,23 +421,13 @@ def decode_sensor_community_jvm(
         p["sensordatavalues"],
         F.array().cast("array<struct<value_type: string, value: string>>"),
     )
-    from ..colutil import let
-
-    def dedup_last(a: Column) -> Column:
-        n = F.size(a)
-        return F.filter(
-            a,
-            lambda x, i: ~F.exists(
-                F.slice(a, i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda y: y["value_type"] == x["value_type"],
-            ),
-        )
+    from ..colutil import dedup_entries_last, let
 
     reading = let(
         arr,
         lambda a: F.map_from_entries(
             F.transform(
-                dedup_last(a),
+                dedup_entries_last(a, key_field="value_type"),
                 lambda x: F.struct(
                     x["value_type"].alias("key"), x["value"].alias("value")
                 ),

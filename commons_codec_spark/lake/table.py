@@ -344,8 +344,18 @@ class KeyedLakeTable:
         # --- change-data-feed: persist this version's net rows (the
         # engine's own replayable merge input — a downstream replica
         # applying each version's changes via merge() converges to this
-        # table's state).  Written BEFORE the commit: a crash leaves an
-        # orphan dir the snapshot never references.
+        # table's state).  STAGED before the commit (``.staged-v{N}`` —
+        # invisible to read_changes/stream_changes, whose listings only
+        # match ``v*``) and renamed into ``changes/v{N}`` only after the
+        # commit lands: a streaming consumer can therefore never ingest a
+        # version's rows before that version commits (a merge that fails
+        # and retries would otherwise overwrite pre-commit files a
+        # consumer already applied).  A crash in the instant between
+        # commit and rename leaves a staged dir that the next merge heals
+        # into place (``_heal_staged_changes``).
+        staged_changes: str | None = None
+        if self.changelog:
+            self._heal_staged_changes()
         if self.changelog and touched:
             if not materialized:
                 # the CDF write is a second consumer of `net`; persist so
@@ -353,9 +363,8 @@ class KeyedLakeTable:
                 # decode→fold (documented CDF cost: one materialization)
                 net = net.persist()
                 materialized = True
-            net.drop(BUCKET_COL).write.mode("overwrite").parquet(
-                self._changes_dir(commit["version"] + 1)
-            )
+            staged_changes = self._staged_changes_dir(commit["version"] + 1)
+            net.drop(BUCKET_COL).write.mode("overwrite").parquet(staged_changes)
 
         current = self.read(buckets=touched, include_tombstones=True)
 
@@ -423,6 +432,9 @@ class KeyedLakeTable:
             [batch_id] if batch_id is not None else []
         )
         self._write_commit(version, batch_id, buckets, applied, payload_schema)
+        if staged_changes is not None and os.path.isdir(staged_changes):
+            # publish the CDF version only now that its commit exists
+            os.replace(staged_changes, self._changes_dir(version))
         if materialized:
             net.unpersist()
         return {
@@ -437,6 +449,32 @@ class KeyedLakeTable:
 
     def _changes_dir(self, version: int) -> str:
         return os.path.join(self.root, "changes", f"v{version:012d}")
+
+    def _staged_changes_dir(self, version: int) -> str:
+        """Pre-commit staging dir for a version's CDF files.  Starts with a
+        dot so no feed listing (``v*`` globs, ``startswith("v")`` filters)
+        can observe it before the commit publishes it via rename."""
+        return os.path.join(self.root, "changes", f".staged-v{version:012d}")
+
+    def _heal_staged_changes(self) -> None:
+        """Complete a crashed publish: a staged CDF dir whose version is
+        already committed but whose final dir is missing is renamed into
+        place (the crash window is between ``_write_commit`` and the
+        rename in :meth:`merge`).  Staged dirs at versions ABOVE the head
+        belong to a failed (uncommitted) merge — left alone; a retry of
+        that version overwrites them, and they are never visible to
+        consumers."""
+        changes_root = os.path.join(self.root, "changes")
+        if not os.path.isdir(changes_root):
+            return
+        head = self._current_commit()["version"]
+        for d in os.listdir(changes_root):
+            if not d.startswith(".staged-v"):
+                continue
+            v = int(d.split("-v", 1)[1])
+            final = self._changes_dir(v)
+            if v <= head and not os.path.isdir(final):
+                os.replace(os.path.join(changes_root, d), final)
 
     def read_changes(
         self, since_version: int = 1, to_version: int | None = None

@@ -11,8 +11,8 @@ re-decoding the old one).
 Two hash forms:
 
 * :func:`uniform_from_id` — Knuth multiplicative hash on a numeric id;
-  plain 64-bit arithmetic, expressible identically in any engine (the
-  DuckDB oracle states the same formula).
+  overflow-safe 64-bit arithmetic (split 16-bit multiply), expressible
+  identically in any engine (the DuckDB oracle states the same formula).
 * :func:`uniform_from_text` — md5-based for string ids.
 
 Stratified form: per-stratum fractions (e.g. keep 100% of rare
@@ -27,15 +27,26 @@ from pyspark.sql import Column, DataFrame
 #: Knuth's multiplicative constant (golden-ratio scaling of 2^32).
 _KNUTH = 2654435761
 _M32 = 4294967296  # 2^32
+#: (2654435761 * 2^16) mod 2^32 — the high-half partial product's factor.
+_KNUTH_HI = (_KNUTH * 65536) % _M32
 
 
 def uniform_from_id(id_col: Column, seed: int = 0) -> Column:
     """Deterministic uniform in [0, 1) from a numeric id.
 
-    ``((id + seed) * 2654435761) mod 2^32 / 2^32`` — 64-bit arithmetic
-    only, so any engine states the identical expression.
+    Value: ``((id + seed) * 2654435761) mod 2^32 / 2^32``.  Computed
+    overflow-safe: the id is first reduced mod 2^32 (the product only
+    depends on that residue) and the 32×32-bit multiply is split into
+    16-bit halves, so every intermediate stays under 2^49 — no 64-bit
+    overflow for any id, under ANSI mode (Spark) or int64-checked
+    engines (DuckDB).  The SQL oracle states the identical split form.
     """
-    h = F.pmod((id_col.cast("long") + F.lit(int(seed))) * F.lit(_KNUTH), F.lit(_M32))
+    a = F.pmod(id_col.cast("long") + F.lit(int(seed)), F.lit(_M32))
+    h = F.pmod(
+        a.bitwiseAND(F.lit(65535)) * F.lit(_KNUTH)
+        + F.shiftright(a, 16) * F.lit(_KNUTH_HI),
+        F.lit(_M32),
+    )
     return h.cast("double") / F.lit(float(_M32))
 
 

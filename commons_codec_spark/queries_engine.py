@@ -129,9 +129,13 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = src._current_commit()["version"]
     for v in range(1, head + 1):
         try:
-            replica.merge(src.read_changes(v, v).drop("_version"))
+            changes = src.read_changes(v, v).drop("_version")
         except ValueError:
             continue  # version without data changes
+        # merge OUTSIDE the try: its ValueErrors (type change, hint
+        # violation) are real failures that must surface, not be
+        # swallowed as empty versions
+        replica.merge(changes)
     state = replica.read().select(
         F.col("cid").cast("long").alias("cid"),
         F.col("name"),

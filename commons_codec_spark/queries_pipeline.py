@@ -431,12 +431,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STRATIFIED_SAMPLE = """
-WITH hashed AS (
+WITH reduced AS (
+    SELECT doc_id, source, (doc_id + 7) % 4294967296 AS a32
+    FROM documents
+),
+hashed AS (
+    -- overflow-safe split form of ((doc_id+7)*2654435761) mod 2^32:
+    -- 2041643008 = (2654435761 * 2^16) mod 2^32 (see operators/sampling.py)
     SELECT doc_id, source,
-           (((doc_id + 7) * 2654435761) % 4294967296) / 4294967296.0 AS u,
+           (((a32 & 65535) * 2654435761 + (a32 >> 16) * 2041643008)
+            % 4294967296) / 4294967296.0 AS u,
            CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.2
                 ELSE 0.05 END AS frac
-    FROM documents
+    FROM reduced
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_sampled,

@@ -102,10 +102,11 @@ def test_feed_total_rows_bounded_by_events(spark, tmp_path):
 
 
 def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
-    """The CDF dir is written BEFORE the snapshot commit.  A crash in
-    that window leaves an orphan changes/v{N} no commit references; the
-    retried merge rewrites it (mode=overwrite) and the feed stays
-    consistent with the committed history."""
+    """The CDF files are STAGED before the snapshot commit (dot-dir,
+    invisible to consumers) and published by rename after it.  A crash in
+    that window leaves only a staged dir no consumer can see; the retried
+    merge rewrites it (mode=overwrite) and the feed stays consistent with
+    the committed history."""
     src = KeyedLakeTable.create(
         spark, str(tmp_path / "crash"), key_schema=KEY_SCHEMA, n_buckets=2,
         changelog=True,
@@ -134,8 +135,9 @@ def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
     assert src._current_commit()["version"] == 0  # nothing committed
     import os as _os
 
-    orphan = src._changes_dir(1)
-    assert _os.path.isdir(orphan)  # the orphan CDF dir exists...
+    # no published CDF dir — only the invisible staged one
+    assert not _os.path.isdir(src._changes_dir(1))
+    assert _os.path.isdir(src._staged_changes_dir(1))
 
     # resume: fresh pipeline, full redelivery — overwrites the orphan
     src._write_commit = real_write_commit
@@ -148,9 +150,11 @@ def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
     )
     for v in range(1, head + 1):
         try:
-            replica.merge(src.read_changes(v, v).drop("_version"))
+            changes = src.read_changes(v, v).drop("_version")
         except ValueError:
-            continue
+            continue  # version without data changes
+        # merge OUTSIDE the try: its ValueErrors are real failures
+        replica.merge(changes)
     assert _rows(replica, include_tombstones=True) == _rows(
         src, include_tombstones=True
     )
@@ -182,3 +186,62 @@ def test_stream_changes_and_retention(spark, tmp_path):
         r[0] for r in remaining.select("_version").distinct().collect()
     ]
     assert versions_left == [head]
+
+
+def test_cdf_version_invisible_until_commit(spark, tmp_path):
+    """ADVICE r2: the CDF dir for a version must not be observable by feed
+    consumers (read_changes / stream_changes / v* globs) before that
+    version's commit lands.  The write is staged under a dot-dir and
+    published by rename after _write_commit; a crash between commit and
+    rename self-heals on the next merge."""
+    import os
+
+    src = KeyedLakeTable.create(
+        spark, str(tmp_path / "src"), key_schema=KEY_SCHEMA, n_buckets=2,
+        changelog=True,
+    )
+    log = generate_event_log(
+        spark, n_events=400, n_keys=40, n_repos=3, seed=5, batch_size=400
+    )
+    cfg = PipelineConfig(keys=KEYS, image_columns=SOURCE_CODE_COLUMNS)
+    pipe = CDCPipeline(spark, src, cfg)
+
+    # 1. commit failure: staged CDF dir exists, published dir does NOT
+    real_write_commit = src._write_commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated commit crash")
+
+    src._write_commit = boom
+    with pytest.raises(RuntimeError):
+        pipe.run_replay(log)
+    changes_root = os.path.join(src.root, "changes")
+    published = [d for d in os.listdir(changes_root) if d.startswith("v")]
+    staged = [d for d in os.listdir(changes_root) if d.startswith(".staged-v")]
+    assert published == [] and len(staged) == 1
+
+    # 2. retry with the commit restored: staged dir is overwritten and
+    # published exactly once; replica converges from the feed
+    src._write_commit = real_write_commit
+    pipe2 = CDCPipeline(spark, src, cfg)
+    pipe2.run_replay(log)
+    published = sorted(d for d in os.listdir(changes_root) if d.startswith("v"))
+    assert published == ["v%012d" % 1]
+    assert not [d for d in os.listdir(changes_root) if d.startswith(".staged")]
+
+    # 3. crash in the commit->rename window: heal on next merge
+    v2 = src._current_commit()["version"] + 1
+    staged_dir = src._staged_changes_dir(v2)
+    os.makedirs(staged_dir, exist_ok=True)
+    # fake "commit exists, rename missed": bump the commit by drop_data
+    src.drop_data()
+    assert not os.path.isdir(src._changes_dir(v2))
+    src._heal_staged_changes()
+    assert os.path.isdir(src._changes_dir(v2))
+
+    replica = KeyedLakeTable.create(
+        spark, str(tmp_path / "replica"), key_schema=KEY_SCHEMA, n_buckets=2
+    )
+    replica.merge(src.read_changes(1, 1).drop("_version"))
+    # version 1 carried the whole batch; state at v1 == replica state
+    assert _rows(replica, include_tombstones=True)

@@ -312,3 +312,19 @@ def test_error_col_marks_unparseable_images(spark):
     assert by_img['{"a\"']["error"] is None and by_img['{"a\"']["a"] == "x"
     assert by_img["{bro"]["error"] is not None and by_img["{bro"]["a"] is None
     assert by_img["NULL"]["error"] is None  # absent image is not poison
+
+
+def test_malformed_numeric_payload_is_total(spark):
+    """ADVICE r2: inference sees only markers, so a malformed N payload
+    must decode NULL (DLQ route), not throw CAST_INVALID_INPUT under ANSI
+    mode and kill the batch."""
+    rows = [
+        (1, '{"pk":{"S":"a"},"n":{"N":"12.5"},"ns":{"NS":["1","2"]}}'),
+        (2, '{"pk":{"S":"b"},"n":{"N":"zz"},"ns":{"NS":["3","oops"]}}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, image string")
+    spec = infer_image_schema(df, "image")
+    out = {r["id"]: r for r in decode_inferred(df, spec, "image").collect()}
+    assert out[1]["n"] == 12.5 and out[1]["ns"] == [1.0, 2.0]
+    assert out[2]["n"] is None          # poison value -> NULL, job alive
+    assert out[2]["ns"] == [3.0, None]  # element-wise try_cast

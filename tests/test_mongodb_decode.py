@@ -279,3 +279,26 @@ def test_compile_mongo_direct_rejects_unknown_type(spark):
     df = spark.createDataFrame([("{}",)], "event string")
     with pytest.raises(ValueError, match="unsupported DIRECT column types"):
         compile_mongo_direct_decoder(df, "event", {"x": "complex"})
+
+
+def test_direct_decoder_malformed_numbers_total(spark):
+    """ADVICE r2: malformed $number* payloads must decode NULL under ANSI
+    mode (try_cast), not throw CAST_INVALID_INPUT and kill the batch."""
+    from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
+
+    good = (
+        '{"operationType":"insert","documentKey":{"_id":{"$oid":"a"*1}},'
+        '"fullDocument":{"n":{"$numberInt":"7"},"d":{"$numberDouble":"1.5"},'
+        '"when":{"$date":{"$numberLong":"1000"}}}}'
+    ).replace('"a"*1', '"aaaaaaaaaaaaaaaaaaaaaaaa"')
+    bad = (
+        '{"operationType":"insert","documentKey":{"_id":{"$oid":"b"*1}},'
+        '"fullDocument":{"n":{"$numberInt":"zz"},"d":{"$numberDouble":"x"},'
+        '"when":{"$date":{"$numberLong":"nope"}}}}'
+    ).replace('"b"*1', '"bbbbbbbbbbbbbbbbbbbbbbbb"')
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, event string")
+    cols = {"n": "int", "d": "double", "when": "date"}
+    out = {r["id"]: r for r in compile_mongo_direct_decoder(df, "event", cols).collect()}
+    assert out[1]["n"] == 7 and out[1]["d"] == 1.5
+    assert out[2]["op"] == "insert" and out[2]["error"] is None
+    assert out[2]["n"] is None and out[2]["d"] is None and out[2]["when"] is None

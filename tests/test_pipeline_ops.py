@@ -254,3 +254,22 @@ def test_deterministic_sampling_properties(spark):
 
     plan = strat._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_sampling_large_ids_no_overflow(spark):
+    """ADVICE r2: snowflake-scale ids (> 2^31) must hash without
+    ARITHMETIC_OVERFLOW under ANSI mode, and the split-multiply form must
+    equal the mathematical ((id+seed)*K) mod 2^32 formula."""
+    from commons_codec_spark.operators import sampling
+
+    ids = [0, 1, 5000, 3_470_000_000, 2**33 + 17, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["u"]
+        for r in df.select(
+            "id", sampling.uniform_from_id(F.col("id"), seed=7).alias("u")
+        ).collect()
+    }
+    for i in ids:
+        expect = (((i + 7) % 2**32) * 2654435761 % 2**32) / 2**32
+        assert abs(got[i] - expect) < 1e-12, (i, got[i], expect)

@@ -254,3 +254,62 @@ def test_tasmota_state_and_sensor_community_jvm_match_kernels(spark):
     for d in (decode_tasmota_state_jvm(df), decode_sensor_community_jvm(df2)):
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_tts_ttn_jvm_duplicate_keys_last_wins(spark):
+    """ADVICE r2: a decoded_payload key colliding with a derived key, or a
+    duplicate gateway_id in rx_metadata, must NOT throw DUPLICATED_MAP_KEY
+    (default mapKeyDedupPolicy=EXCEPTION) — last entry wins, matching the
+    Arrow kernel's dict-assignment order exactly."""
+    from commons_codec_spark.functions.telemetry import (
+        decode_telemetry,
+        decode_tts_ttn_jvm,
+    )
+
+    collide = (
+        '{"end_device_ids":{"device_id":"dev-1"},'
+        '"received_at":"2024-06-01T10:00:00Z",'
+        '"uplink_message":{"decoded_payload":'
+        '{"bw":"payload-bw","device_id":"payload-dev","temp":3},'
+        '"settings":{"data_rate":{"lora":{"bandwidth":125000,'
+        '"spreading_factor":7}},"frequency":"868100000"},'
+        '"f_cnt":2,"rx_metadata":['
+        '{"gateway_ids":{"gateway_id":"g1"},"rssi":-70,"snr":5},'
+        '{"gateway_ids":{"gateway_id":"g1"},"rssi":-80,"snr":1}]}}'
+    )
+    df = spark.createDataFrame([(1, collide)], "event_id long, payload string")
+    jvm = decode_tts_ttn_jvm(df).collect()[0]
+    ref = decode_telemetry(df, "tts_ttn").collect()[0]
+    assert jvm["error"] is None and ref["error"] is None
+    r = jvm["reading"]
+    # derived bw (assigned after payload update in the kernel) wins
+    assert r["bw"] == "125.0"
+    # payload device_id (update() runs after the initial assignment) wins
+    assert r["device_id"] == "payload-dev"
+    # duplicate gateway: LAST rx_metadata entry wins
+    assert r["gw_g1_rssi"] == "-80" and r["gw_g1_snr"] == "1"
+    # same winners as the Arrow kernel (values JSON-encoded there)
+    import json as _json
+
+    kr = ref["reading"]
+    assert _json.loads(kr["bw"]) == 125.0
+    assert _json.loads(kr["device_id"]) == "payload-dev"
+    assert _json.loads(kr["gw_g1_rssi"]) == -80
+
+
+def test_tts_ttn_jvm_nonnumeric_settings_total(spark):
+    """Non-numeric bandwidth/frequency must not crash under ANSI mode —
+    try_cast decodes them as absent keys (documented divergence #2)."""
+    from commons_codec_spark.functions.telemetry import decode_tts_ttn_jvm
+
+    bad = (
+        '{"end_device_ids":{"device_id":"dev-2"},'
+        '"uplink_message":{"decoded_payload":{"t":1},'
+        '"settings":{"data_rate":{"lora":{"bandwidth":"zz",'
+        '"spreading_factor":7}},"frequency":"not-a-number"}}}'
+    )
+    df = spark.createDataFrame([(1, bad)], "event_id long, payload string")
+    row = decode_tts_ttn_jvm(df).collect()[0]
+    assert row["error"] is None
+    assert "bw" not in row["reading"] and "freq" not in row["reading"]
+    assert row["reading"]["sf"] == "7"
