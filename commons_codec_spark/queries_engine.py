@@ -359,10 +359,136 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-table fan-out: one heterogeneous stream -> N target tables
+# ---------------------------------------------------------------------------
+#
+# One interleaved batch carries events for public.customers (insert all,
+# update acct for cid%5==0 at a later seq), public.suppliers (insert all,
+# delete sk%6==0), and awsdms_validation_failures rows (one per nation) that
+# the router diverts to the `dms` schema (reference ``aws_dms.py:39-44``);
+# a MultiTablePipeline applies the whole batch in one pass and the query
+# returns the union of all three final states tagged by table.
+
+
+def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from commons_codec_spark.streaming.fanout import (
+        MultiTablePipeline,
+        TableTarget,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cid = F.col("c_custkey").cast("long")
+    sk = F.col("s_suppkey").cast("long")
+    nk = F.col("n_nationkey").cast("long")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+
+    c_ins = cust.select(
+        F.lit("insert").alias("op"), (cid * 2).alias("commit_seq"),
+        F.lit("public").alias("schema_name"), F.lit("customers").alias("table_name"),
+        F.format_string('{"cid":{"N":"%d"}}', cid).alias("keys_json"),
+        F.format_string(
+            '{"cid":{"N":"%d"},"name":{"S":"%s"},"acct_cents":{"N":"%d"}}',
+            cid, F.col("c_name"), cents,
+        ).alias("image"),
+    )
+    c_upd = cust.filter(cid % 5 == 0).select(
+        F.lit("update").alias("op"), (F.lit(1_000_000_000) + cid).alias("commit_seq"),
+        F.lit("public").alias("schema_name"), F.lit("customers").alias("table_name"),
+        F.format_string('{"cid":{"N":"%d"}}', cid).alias("keys_json"),
+        F.format_string(
+            '{"cid":{"N":"%d"},"name":{"S":"%s"},"acct_cents":{"N":"%d"}}',
+            cid, F.col("c_name"), cents + 777,
+        ).alias("image"),
+    )
+    s_ins = sup.select(
+        F.lit("insert").alias("op"), (sk * 2 + 1).alias("commit_seq"),
+        F.lit("public").alias("schema_name"), F.lit("suppliers").alias("table_name"),
+        F.format_string('{"sk":{"N":"%d"}}', sk).alias("keys_json"),
+        F.format_string(
+            '{"sk":{"N":"%d"},"name":{"S":"%s"}}', sk, F.col("s_name")
+        ).alias("image"),
+    )
+    s_del = sup.filter(sk % 6 == 0).select(
+        F.lit("delete").alias("op"), (F.lit(2_000_000_000) + sk).alias("commit_seq"),
+        F.lit("public").alias("schema_name"), F.lit("suppliers").alias("table_name"),
+        F.format_string('{"sk":{"N":"%d"}}', sk).alias("keys_json"),
+        F.lit(None).cast("string").alias("image"),
+    )
+    # awsdms_* rows arrive addressed to `public` — routing must divert them
+    dms_rows = nat.select(
+        F.lit("insert").alias("op"), (F.lit(3_000_000_000) + nk).alias("commit_seq"),
+        F.lit("public").alias("schema_name"),
+        F.lit("awsdms_validation_failures").alias("table_name"),
+        F.format_string('{"vid":{"N":"%d"}}', nk).alias("keys_json"),
+        F.format_string(
+            '{"vid":{"N":"%d"},"detail":{"S":"%s"}}', nk, F.col("n_name")
+        ).alias("image"),
+    )
+    batch = c_ins.unionAll(c_upd).unionAll(s_ins).unionAll(s_del).unionAll(dms_rows)
+
+    work = tempfile.mkdtemp(prefix="ccs-fanq-")
+
+    def mk(name, key, img):
+        return TableTarget(
+            KeyedLakeTable.create(
+                spark, f"{work}/{name}", key_schema={key: "double"}, n_buckets=8
+            ),
+            PipelineConfig(keys=[key], image_columns=img, discover_columns=False),
+        )
+
+    targets = {
+        ("public", "customers"): mk(
+            "customers", "cid", {"cid": "N", "name": "S", "acct_cents": "N"}
+        ),
+        ("public", "suppliers"): mk("suppliers", "sk", {"sk": "N", "name": "S"}),
+        ("dms", "awsdms_validation_failures"): mk(
+            "dmsval", "vid", {"vid": "N", "detail": "S"}
+        ),
+    }
+    pipe = MultiTablePipeline(spark, targets)
+    pipe.apply_batch(batch, batch_id=1)
+
+    c_state = targets[("public", "customers")].table.read().select(
+        F.lit("customers").alias("tbl"), F.col("cid").cast("long").alias("k"),
+        F.col("name"), F.col("acct_cents").cast("long").alias("num"),
+    )
+    s_state = targets[("public", "suppliers")].table.read().select(
+        F.lit("suppliers").alias("tbl"), F.col("sk").cast("long").alias("k"),
+        F.col("name"), F.lit(None).cast("long").alias("num"),
+    )
+    d_state = targets[("dms", "awsdms_validation_failures")].table.read().select(
+        F.lit("dms").alias("tbl"), F.col("vid").cast("long").alias("k"),
+        F.col("detail").alias("name"), F.lit(None).cast("long").alias("num"),
+    )
+    return _materialized(c_state.unionAll(s_state).unionAll(d_state), work)
+
+
+SQL_MULTI_TABLE_ROUTING = """
+SELECT 'customers' AS tbl,
+       c_custkey AS k,
+       c_name AS name,
+       CAST(round(c_acctbal * 100)
+            + CASE WHEN c_custkey % 5 = 0 THEN 777 ELSE 0 END AS BIGINT) AS num
+FROM customer
+UNION ALL
+SELECT 'suppliers' AS tbl, s_suppkey AS k, s_name AS name,
+       CAST(NULL AS BIGINT) AS num
+FROM supplier WHERE s_suppkey % 6 <> 0
+UNION ALL
+SELECT 'dms' AS tbl, n_nationkey AS k, n_name AS name,
+       CAST(NULL AS BIGINT) AS num
+FROM nation
+"""
+
+
 ENGINE_QUERIES = {
     "cdc_full_load_then_cdc": (q_full_load_then_cdc, SQL_FULL_LOAD_THEN_CDC),
     "cdc_changelog_replica": (q_changelog_replica, SQL_FULL_LOAD_THEN_CDC),
     "cdc_control_drop_reset": (q_control_drop_reset, SQL_CONTROL_DROP_RESET),
+    "cdc_multi_table_routing": (q_multi_table_routing, SQL_MULTI_TABLE_ROUTING),
     "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),
     "dynamodb_source_guard": (q_source_guard, SQL_SOURCE_GUARD),
     "telemetry_tasmota_state": (q_tasmota_state, SQL_TASMOTA_STATE),

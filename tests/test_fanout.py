@@ -1,0 +1,162 @@
+"""Multi-table fan-out: one heterogeneous stream into N keyed lake tables.
+
+Pins the reference's multi-table translation semantics
+(``aws_dms.py:39-44,86-115,133-144``): per-event (schema, table) routing,
+``awsdms_*`` diversion to the ``dms`` schema, per-table schema state in one
+shared registry, unknown tables skipped (counted / DLQ'd) without killing
+the stream, and exactly-once across all sinks under replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.streaming.fanout import MultiTablePipeline, TableTarget
+from commons_codec_spark.streaming.pipeline import PipelineConfig
+
+
+def _mk_events(spark):
+    """Interleaved two-table batch + awsdms_* rows + an unknown table."""
+    rows = []
+    # public.users: inserts then one update and one delete
+    for uid in range(8):
+        rows.append(
+            ("insert", 10 + uid, "public", "users",
+             '{"uid":{"N":"%d"}}' % uid,
+             '{"uid":{"N":"%d"},"name":{"S":"u%d"}}' % (uid, uid), 0)
+        )
+    rows.append(
+        ("update", 100, "public", "users", '{"uid":{"N":"3"}}',
+         '{"uid":{"N":"3"},"name":{"S":"u3-upd"}}', 0)
+    )
+    rows.append(("delete", 101, "public", "users", '{"uid":{"N":"5"}}', None, 0))
+    # public.orders: different payload schema (amount)
+    for oid in range(5):
+        rows.append(
+            ("insert", 20 + oid, "public", "orders",
+             '{"oid":{"N":"%d"}}' % oid,
+             '{"oid":{"N":"%d"},"amount":{"N":"%d"}}' % (oid, 100 * oid), 0)
+        )
+    # awsdms_* rows -> diverted to the dms schema
+    for vid in range(3):
+        rows.append(
+            ("insert", 30 + vid, "public", "awsdms_validation_failures",
+             '{"vid":{"N":"%d"}}' % vid,
+             '{"vid":{"N":"%d"},"detail":{"S":"err%d"}}' % (vid, vid), 0)
+        )
+    # a table nobody registered
+    rows.append(
+        ("insert", 40, "public", "mystery",
+         '{"mid":{"N":"1"}}', '{"mid":{"N":"1"}}', 0)
+    )
+    return spark.createDataFrame(
+        rows,
+        "op string, commit_seq long, schema_name string, table_name string,"
+        " keys_json string, image string, batch_id long",
+    )
+
+
+def _targets(spark, tmp_path):
+    def mk(name, key, img):
+        return TableTarget(
+            KeyedLakeTable.create(
+                spark, str(tmp_path / name), key_schema={key: "double"},
+                n_buckets=2,
+            ),
+            PipelineConfig(keys=[key], image_columns=img,
+                           discover_columns=False),
+        )
+
+    return {
+        ("public", "users"): mk("users", "uid", {"uid": "N", "name": "S"}),
+        ("public", "orders"): mk("orders", "oid", {"oid": "N", "amount": "N"}),
+        ("dms", "awsdms_validation_failures"): mk(
+            "dmsval", "vid", {"vid": "N", "detail": "S"}
+        ),
+    }
+
+
+def test_fanout_routes_folds_and_merges(spark, tmp_path):
+    targets = _targets(spark, tmp_path)
+    pipe = MultiTablePipeline(
+        spark, targets, checkpoint_dir=str(tmp_path / "ckpt"),
+        unknown_table_dlq=str(tmp_path / "dlq"),
+    )
+    m = pipe.run_replay(_mk_events(spark))[0]
+
+    users = {
+        int(r["uid"]): r["name"]
+        for r in targets[("public", "users")].table.read().collect()
+    }
+    assert users == {0: "u0", 1: "u1", 2: "u2", 3: "u3-upd", 4: "u4",
+                     6: "u6", 7: "u7"}  # 5 deleted, 3 updated
+    orders = {
+        int(r["oid"]): int(r["amount"])
+        for r in targets[("public", "orders")].table.read().collect()
+    }
+    assert orders == {i: 100 * i for i in range(5)}
+    # awsdms_* rows landed in the dms-schema target (route diversion)
+    dms = targets[("dms", "awsdms_validation_failures")].table.read()
+    assert {r["detail"] for r in dms.collect()} == {"err0", "err1", "err2"}
+    # unknown table: counted + DLQ'd, stream alive
+    assert m["unknown_routes"] == ["public:mystery"]
+    assert m["unknown_rows"] == 1
+    assert os.path.isdir(str(tmp_path / "dlq"))
+    # registry shared across targets, keyed schema:table
+    assert pipe.registry.get("public", "users").extra_columns
+    assert pipe.registry.get("dms", "awsdms_validation_failures").extra_columns
+
+
+def test_fanout_replay_is_idempotent_per_sink(spark, tmp_path):
+    targets = _targets(spark, tmp_path)
+    pipe = MultiTablePipeline(spark, targets)
+    events = _mk_events(spark)
+    pipe.run_replay(events)
+    before = {
+        key: sorted(map(tuple, t.table.read().collect()))
+        for key, t in targets.items()
+    }
+    # full redelivery of the same batch id: every sink skips (applied id)
+    m = pipe.run_replay(events)[0]
+    assert all(v.get("skipped") for v in m["tables"].values())
+    after = {
+        key: sorted(map(tuple, t.table.read().collect()))
+        for key, t in targets.items()
+    }
+    assert before == after
+
+
+def test_fanout_partial_crash_resumes_per_sink(spark, tmp_path):
+    """Crash after table A merged, before table B: replay applies B and
+    skips A — exactly-once composes per sink."""
+    targets = _targets(spark, tmp_path)
+    pipe = MultiTablePipeline(spark, targets)
+    events = _mk_events(spark)
+
+    orders_table = targets[("public", "orders")].table
+    real_merge = orders_table.merge
+    calls = {"n": 0}
+
+    def exploding_merge(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash mid-fanout")
+        return real_merge(*a, **kw)
+
+    orders_table.merge = exploding_merge
+    import pytest
+
+    with pytest.raises(RuntimeError, match="mid-fanout"):
+        pipe.run_replay(events)
+    # sorted route order: dms < public:orders — dms applied, orders did not
+    assert targets[("dms", "awsdms_validation_failures")].table.read().count() == 3
+    assert orders_table.read().count() == 0
+
+    m = pipe.run_replay(events)[0]
+    assert m["tables"]["dms:awsdms_validation_failures"].get("skipped")
+    assert not m["tables"]["public:orders"].get("skipped")
+    assert orders_table.read().count() == 5
+    assert targets[("public", "users")].table.read().count() == 7
