@@ -333,6 +333,12 @@ def fold_net_changes(
         # Phase 2: compose chunk states in chunk order per key.
         out = partial.groupBy(*keys).agg(_compose_agg(ptype))
 
+    return _compact_state(out, keys, ptype)
+
+
+def _compact_state(out: DataFrame, keys: list[str], ptype: T.StructType) -> DataFrame:
+    """Re-encode a ``__state`` two-branch struct into the compact net-row
+    shape merge() consumes (keys + aa/aseq/pa/pseq/row/prow_extra)."""
     s = F.col("__state")
     aa, pa = s["aa"], s["pa"]
     divergent = (aa == SET) & (pa == SET) & (s["aseq"] != s["pseq"])
@@ -349,3 +355,48 @@ def fold_net_changes(
         .alias("row"),
         F.when(divergent, s["prow"]).otherwise(null_row).alias("prow_extra"),
     )
+
+
+def compose_net_changes(
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str = "_version",
+) -> DataFrame:
+    """Compose net-change rows from CONSECUTIVE fold outputs into one.
+
+    Input: rows in the compact net encoding (keys + aa/aseq/pa/pseq/row/
+    prow_extra), each tagged with a monotone ``version_col`` — exactly
+    what ``KeyedLakeTable.read_changes(since, to)`` returns.  The fold is
+    associative, so a change-feed *range* collapses to one net row per
+    key by composing the per-version states in version order — a replica
+    then applies the whole tail in ONE merge (one shuffle + one join)
+    instead of one merge per version.
+
+    The compact encoding is first re-inflated to the two-branch state:
+    ``arow`` is ``row`` when ``aa == SET``; ``prow`` is ``prow_extra``
+    when the branches diverged (non-null by construction exactly then),
+    else ``row`` when ``pa == SET``.
+    """
+    ptype = changes.schema["row"].dataType
+    aa, pa = F.col("aa"), F.col("pa")
+    null_row = F.lit(None).cast(ptype)
+    state = F.struct(
+        aa.alias("aa"),
+        F.when(aa == SET, F.col("row")).otherwise(null_row).alias("arow"),
+        F.col("aseq").alias("aseq"),
+        pa.alias("pa"),
+        F.coalesce(
+            F.col("prow_extra"), F.when(pa == SET, F.col("row"))
+        ).alias("prow"),
+        F.col("pseq").alias("pseq"),
+    )
+    out = (
+        changes.select(
+            *keys,
+            F.col(version_col).cast("long").alias("__chunk"),
+            state.alias("__state"),
+        )
+        .groupBy(*keys)
+        .agg(_compose_agg(ptype))
+    )
+    return _compact_state(out, keys, ptype)

@@ -126,16 +126,13 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica = KeyedLakeTable.create(
         spark, f"{work}/replica", key_schema={"cid": "double"}, n_buckets=8
     )
+    # incremental range tail: the whole [1, head] feed composes to one net
+    # row per key (fold associativity) and applies in ONE merge — one
+    # shuffle + one join instead of one merge per version
+    from commons_codec_spark.operators.cdc_fold import compose_net_changes
+
     head = src._current_commit()["version"]
-    for v in range(1, head + 1):
-        try:
-            changes = src.read_changes(v, v).drop("_version")
-        except ValueError:
-            continue  # version without data changes
-        # merge OUTSIDE the try: its ValueErrors (type change, hint
-        # violation) are real failures that must surface, not be
-        # swallowed as empty versions
-        replica.merge(changes)
+    replica.merge(compose_net_changes(src.read_changes(1, head), keys=["cid"]))
     state = replica.read().select(
         F.col("cid").cast("long").alias("cid"),
         F.col("name"),
@@ -156,6 +153,48 @@ SELECT c_custkey + 1000000 AS cid,
        CAST(0 AS BIGINT) AS acct_cents
 FROM customer WHERE c_custkey % 11 = 0
 """
+
+
+def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through the REAL streaming path: the S4 CDC batch is written as
+    parquet files and consumed by ``run_stream`` (readStream →
+    foreachBatch → decode→fold→merge with checkpointed offsets), not by a
+    direct ``apply_batch`` call.  ``maxFilesPerTrigger=2`` over 4 source
+    files forces multiple micro-batches, and the query asserts
+    ``lastProgress`` is non-null — proof the result provably flowed
+    through Structured Streaming.  Same oracle as
+    ``cdc_full_load_then_cdc``: the read path must not change the answer.
+    """
+    full, cdc = _full_load_workload(spark, sf_dir)
+
+    work = tempfile.mkdtemp(prefix="ccs-strq-")
+    # deterministic file source: 4 parquet files split by seq then key so
+    # micro-batch boundaries are stable across runs
+    cdc.repartition(4, F.col("commit_seq"), F.col("keys_json")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/stream-src")
+
+    table = KeyedLakeTable.create(
+        spark, f"{work}/tbl", key_schema={"cid": "double"}, n_buckets=8
+    )
+    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=f"{work}/ckpt")
+    pipe.full_load(full, seq=0)
+    query = pipe.run_stream(
+        f"{work}/stream-src",
+        schema="op string, commit_seq long, keys_json string, image string",
+        max_files_per_trigger=2,
+    )
+    query.awaitTermination()
+    if query.lastProgress is None:  # pragma: no cover — contract guard
+        raise RuntimeError("stream made no progress — result did not flow "
+                           "through the streaming path")
+    state = table.read().select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("name"),
+        F.col("acct_cents").cast("long").alias("acct_cents"),
+    )
+    return _materialized(state, work)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +526,7 @@ FROM nation
 ENGINE_QUERIES = {
     "cdc_full_load_then_cdc": (q_full_load_then_cdc, SQL_FULL_LOAD_THEN_CDC),
     "cdc_changelog_replica": (q_changelog_replica, SQL_FULL_LOAD_THEN_CDC),
+    "cdc_streaming_replay": (q_streaming_replay, SQL_FULL_LOAD_THEN_CDC),
     "cdc_control_drop_reset": (q_control_drop_reset, SQL_CONTROL_DROP_RESET),
     "cdc_multi_table_routing": (q_multi_table_routing, SQL_MULTI_TABLE_ROUTING),
     "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),

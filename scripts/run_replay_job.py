@@ -157,16 +157,20 @@ def main() -> None:
     )
 
     if args.replicate_from:
+        from commons_codec_spark.operators.cdc_fold import compose_net_changes
+
         src = KeyedLakeTable(spark, args.replicate_from)
         head = src.version()
+        # the whole feed range composes to one net row per key (fold
+        # associativity) and applies in ONE merge
         applied = 0
-        for v in range(1, head + 1):
-            try:
-                changes = src.read_changes(v, v).drop("_version")
-            except ValueError:
-                continue
-            table.merge(changes)
-            applied += 1
+        try:
+            changes = src.read_changes(1, head)
+        except ValueError:
+            changes = None  # no change versions at all
+        if changes is not None:
+            table.merge(compose_net_changes(changes, keys=list(table.keys)))
+            applied = head
         print(json.dumps({
             "replicated_from": args.replicate_from,
             "source_version": head,

@@ -245,3 +245,38 @@ def test_cdf_version_invisible_until_commit(spark, tmp_path):
     replica.merge(src.read_changes(1, 1).drop("_version"))
     # version 1 carried the whole batch; state at v1 == replica state
     assert _rows(replica, include_tombstones=True)
+
+
+def test_compose_net_changes_range_equals_per_version_replay(spark, tmp_path):
+    """Fold associativity over the feed: composing [1, head] into ONE
+    merge must equal the per-version replay exactly — deletes, tombstones
+    and mid-stream additive evolution (lang) included."""
+    from commons_codec_spark.operators.cdc_fold import compose_net_changes
+
+    src = _replay_source(spark, tmp_path)
+    head = src._current_commit()["version"]
+    assert head >= 3
+
+    loop = KeyedLakeTable.create(
+        spark, str(tmp_path / "loop"), key_schema=KEY_SCHEMA, n_buckets=4
+    )
+    for v in range(1, head + 1):
+        try:
+            changes = src.read_changes(v, v).drop("_version")
+        except ValueError:
+            continue
+        loop.merge(changes)
+
+    one = KeyedLakeTable.create(
+        spark, str(tmp_path / "one"), key_schema=KEY_SCHEMA, n_buckets=4
+    )
+    one.merge(compose_net_changes(src.read_changes(1, head), keys=KEYS))
+
+    assert _rows(one) == _rows(loop) == _rows(src)
+    assert _rows(one, include_tombstones=True) == _rows(
+        loop, include_tombstones=True
+    )
+    # single merge => single replica version
+    assert one._current_commit()["version"] == 1
+    # a later tail composes and applies incrementally too
+    assert "lang" in one.read().columns
