@@ -73,7 +73,7 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def make_log(spark, out_dir: str) -> None:
+def make_log(spark, out_dir: str, hot_key_frac: float | None = None) -> None:
     from commons_codec_spark.sources.eventlog import generate_event_log
 
     log = generate_event_log(
@@ -83,13 +83,15 @@ def make_log(spark, out_dir: str) -> None:
         n_repos=max(N_EVENTS // 1000, 8),
         seed=SEED,
         batch_size=max(N_EVENTS // N_BATCHES, 1),
+        hot_key_frac=hot_key_frac,
     )
     # partition by micro-batch: each replay step prunes to its own files
     log.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
 
 
 def best_of(
-    spark, log_dir: str, work_root: str, runs: int = 2, n_buckets: int = 32
+    spark, log_dir: str, work_root: str, runs: int = 2, n_buckets: int = 32,
+    salt_chunks=None,
 ) -> dict:
     """Steady-state wall time: min over `runs` fresh-table replays.
 
@@ -99,14 +101,17 @@ def best_of(
     best = None
     for i in range(runs):
         m = run_replay(
-            spark, log_dir, os.path.join(work_root, f"r{i}"), n_buckets=n_buckets
+            spark, log_dir, os.path.join(work_root, f"r{i}"),
+            n_buckets=n_buckets, salt_chunks=salt_chunks,
         )
         if best is None or m["wall_sec"] < best["wall_sec"]:
             best = m
     return best
 
 
-def run_replay(spark, log_dir: str, work_dir: str, n_buckets: int = 32) -> dict:
+def run_replay(
+    spark, log_dir: str, work_dir: str, n_buckets: int = 32, salt_chunks=None
+) -> dict:
     from commons_codec_spark.lake.table import KeyedLakeTable
     from commons_codec_spark.sources.eventlog import SOURCE_CODE_COLUMNS
     from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
@@ -125,6 +130,7 @@ def run_replay(spark, log_dir: str, work_dir: str, n_buckets: int = 32) -> dict:
             keys=["repo", "path"],
             image_columns=SOURCE_CODE_COLUMNS,
             discover_columns=False,  # schema known for the bench
+            salt_chunks=salt_chunks,
         ),
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
     )
@@ -132,7 +138,11 @@ def run_replay(spark, log_dir: str, work_dir: str, n_buckets: int = 32) -> dict:
     pipe.run_replay(events)
     wall = time.time() - t0
     n_rows = table.read().count()
-    return {"wall_sec": round(wall, 3), "final_rows": n_rows}
+    out = {"wall_sec": round(wall, 3), "final_rows": n_rows}
+    engaged = [m.get("salt_chunks") for m in pipe.metrics if m.get("salt_chunks")]
+    if engaged:
+        out["salt_chunks"] = engaged[0]
+    return out
 
 
 def timed_queries(spark) -> dict:
@@ -203,6 +213,35 @@ def main() -> None:
     result["unit"] = "sec"
     result["final_rows"] = head["final_rows"]
     result["events_per_sec"] = round(N_EVENTS / head["wall_sec"], 1)
+
+    # --- hot-key regime: same event count, one key carries ~30% of the
+    # stream (the north rule's skew case).  salt_chunks="auto" must keep
+    # the replay near the uniform wall time by measuring the skew in the
+    # keys-only prescan and engaging the two-phase fold; the unsalted
+    # contrast run shows what the straggler would otherwise cost.
+    if os.environ.get("SPARK_GRAFT_HOT", "1") == "1":
+        hot_dir = os.path.join(work, "eventlog-hot")
+        make_log(spark, hot_dir, hot_key_frac=0.3)
+        n_b = max(32, 2 * CPUS)
+        hot_salted = best_of(
+            spark, hot_dir, os.path.join(work, "run-hot-salted"), runs=2,
+            n_buckets=n_b, salt_chunks="auto",
+        )
+        hot_plain = run_replay(
+            spark, hot_dir, os.path.join(work, "run-hot-plain"), n_buckets=n_b
+        )
+        result["hot_key"] = {
+            "hot_frac": 0.3,
+            "salted_wall_sec": hot_salted["wall_sec"],
+            "salted_events_per_sec": round(N_EVENTS / hot_salted["wall_sec"], 1),
+            "salt_chunks_engaged": hot_salted.get("salt_chunks", 0),
+            "unsalted_wall_sec": hot_plain["wall_sec"],
+            "ratio_vs_uniform": round(hot_salted["wall_sec"] / head["wall_sec"], 3),
+            "salted_speedup_vs_unsalted": round(
+                hot_plain["wall_sec"] / hot_salted["wall_sec"], 3
+            ),
+        }
+
     result["queries"] = timed_queries(spark)
     spark.stop()
 

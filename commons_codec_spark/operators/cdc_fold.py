@@ -307,33 +307,30 @@ def fold_net_changes(
     chunk) and the chunk states composed per key — two shuffles but bounded
     per-task state under hot-key skew (north rule: explicit skew handling).
     Chunk boundaries follow seq ranges so composition order is preserved.
+    Phase 1 runs the same codegen closed form as the unsalted path (the
+    chunk id simply joins the window/grouping key, splitting a hot key's
+    sort-run across tasks); only phase 2's per-key composition — at most
+    ``salt_chunks`` states per key — uses the interpreted HOF aggregate.
     """
-    ptype = _payload_struct(events, payload_cols)
-
-    def fold_events(grouped):
-        return grouped.agg(_fold_agg(ptype, seq_col, op_col, payload_cols))
-
     if not salt_chunks:
         return _fold_closed_form(events, keys, payload_cols, seq_col, op_col)
-    else:
-        # Phase 1: fold within (key, seq-chunk); chunk by seq range so that
-        # chunk order == seq order.  Quantile-free: derive chunk from the
-        # global seq span (cheap agg, broadcast as literals).
-        lo, hi = events.select(
-            F.min(seq_col).cast("long"), F.max(seq_col).cast("long")
-        ).first()
-        span = max(int(hi or 0) - int(lo or 0) + 1, 1)
-        width = max(span // salt_chunks, 1)
-        chunk = ((F.col(seq_col).cast("long") - F.lit(int(lo or 0))) / width).cast(
-            "long"
-        )
-        partial = fold_events(
-            events.withColumn("__chunk", chunk).groupBy(*keys, "__chunk")
-        )
-        # Phase 2: compose chunk states in chunk order per key.
-        out = partial.groupBy(*keys).agg(_compose_agg(ptype))
-
-    return _compact_state(out, keys, ptype)
+    # Phase 1: fold within (key, seq-chunk); chunk by seq range so that
+    # chunk order == seq order.  Quantile-free: derive chunk from the
+    # global seq span (cheap agg, broadcast as literals).
+    lo, hi = events.select(
+        F.min(seq_col).cast("long"), F.max(seq_col).cast("long")
+    ).first()
+    span = max(int(hi or 0) - int(lo or 0) + 1, 1)
+    width = max(span // salt_chunks, 1)
+    chunk = ((F.col(seq_col).cast("long") - F.lit(int(lo or 0))) / width).cast(
+        "long"
+    )
+    partial = _fold_closed_form(
+        events.withColumn("__chunk", chunk),
+        keys + ["__chunk"], payload_cols, seq_col, op_col,
+    )
+    # Phase 2: compose chunk states in chunk order per key.
+    return compose_net_changes(partial, keys, version_col="__chunk")
 
 
 def _compact_state(out: DataFrame, keys: list[str], ptype: T.StructType) -> DataFrame:

@@ -51,8 +51,16 @@ def generate_event_log(
     repo_skew: float = 3.0,
     dup_every: int = 37,
     partitions: int | None = None,
+    hot_key_frac: float | None = None,
+    hot_key_id: int = 0,
 ) -> DataFrame:
-    """Build the envelope DataFrame; pure column expressions, no Python."""
+    """Build the envelope DataFrame; pure column expressions, no Python.
+
+    ``hot_key_frac``: route that fraction of ALL events to a single key
+    (``hot_key_id``) on top of the power-law base — the adversarial
+    single-hot-key regime the auto-salt path defends against (one repo
+    receiving a third of the stream's change events).
+    """
     n_keys = n_keys or max(n_events // 8, 16)
     n_repos = n_repos or max(n_keys // 100, 4)
     lang_cutoff = int(n_events * lang_cutoff_frac)
@@ -62,6 +70,11 @@ def generate_event_log(
 
     # --- key / repo assignment (power-law skew)
     key_id = F.floor(F.pow(_u(seed, i), key_skew) * n_keys).cast("long")
+    if hot_key_frac:
+        key_id = F.when(
+            _u(seed + 9, i) < float(hot_key_frac),
+            F.lit(int(hot_key_id)).cast("long"),
+        ).otherwise(key_id)
     repo_id = F.floor(F.pow(_u(seed + 1, key_id), repo_skew) * n_repos).cast("long")
     repo = F.format_string("repo-%04d", repo_id)
     path = F.format_string("src/m%02d/file_%07d.py", F.pmod(key_id, F.lit(97)), key_id)

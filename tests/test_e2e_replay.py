@@ -326,3 +326,52 @@ def test_ordering_guard_rejects_stale_cross_batch_update(spark, tmp_path):
     table.merge(net2, batch_id=1)  # stale update must lose
     row = table.read().collect()[0]
     assert row.commit == "c1" and row.content == "body-new"
+
+
+def test_auto_salt_engages_under_skew_only(spark, tmp_path):
+    """salt_chunks="auto": the keys-only prescan measures per-key skew and
+    engages the two-phase fold only when a hot key dominates; the final
+    state must equal the unsalted oracle either way."""
+    hot_log = generate_event_log(
+        spark, n_events=6000, n_keys=500, n_repos=8, seed=11,
+        batch_size=6000, hot_key_frac=0.4,
+    ).cache()
+    oracle = _oracle_state(hot_log.collect())
+
+    # the engage rule is hot_share × shuffle_partitions > 4: at the test
+    # session's 4 partitions no hot key can qualify (correctly — a 40%
+    # key is only a 1.6× straggler there), so measure at a realistic
+    # partition count and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    table = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(
+        keys=KEYS, image_columns=SOURCE_CODE_COLUMNS,
+        salt_chunks="auto", auto_salt_floor=500,
+    )
+    pipe = CDCPipeline(spark, table, cfg)
+    try:
+        metrics = pipe.run_replay(hot_log)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the skew measurement engaged the two-phase fold...
+    assert metrics[0].get("salt_chunks", 0) >= 2
+    # ...and the answer is unchanged
+    _assert_state_matches(table, oracle)
+
+    # uniform log: auto must NOT engage (hot key under every threshold)
+    uni_log = generate_event_log(
+        spark, n_events=4000, n_keys=2000, n_repos=8, seed=12, batch_size=4000,
+        key_skew=1.0,
+    ).cache()
+    table2 = KeyedLakeTable.create(
+        spark, str(tmp_path / "tbl2"),
+        key_schema={"repo": "string", "path": "string"}, n_buckets=8,
+    )
+    pipe2 = CDCPipeline(spark, table2, PipelineConfig(
+        keys=KEYS, image_columns=SOURCE_CODE_COLUMNS,
+        salt_chunks="auto", auto_salt_floor=500,
+    ))
+    m2 = pipe2.run_replay(uni_log)
+    assert "salt_chunks" not in m2[0]
+    _assert_state_matches(table2, _oracle_state(uni_log.collect()))
