@@ -118,39 +118,58 @@ def sample_frames(
 ) -> DataFrame:
     """Video -> one row per sampled frame timestamp (decode stubbed).
 
-    The timestamp expansion is pure JVM — ``explode(sequence(0,
-    duration-1, every_ms))`` — so only the codec boundary runs in Python:
-    a vectorized (Arrow-batched) pandas UDF mapping (payload, ts) ->
-    frame bytes, here the :func:`frame_stub_bytes` stand-in for the real
-    ffmpeg/PyAV frame grab.  At scale the explode multiplies rows *before*
-    the Python exchange, but each Python batch carries the payload once
-    per frame either way; a real deployment would decode per *video* and
-    emit frames from one pass — that variant needs the actual codec, so
-    the plumbing here models the per-frame API instead.
+    ONE Python pass per *video*: a single ``mapInPandas`` stage receives
+    each video's payload once and emits all of its frame rows — the shape
+    a real ffmpeg/PyAV deployment uses (open the container once, seek per
+    timestamp).  The earlier explode-then-UDF formulation serialized the
+    full binary payload through the Arrow exchange once per frame (a
+    60-frame video crossed 60×); here the payload crosses exactly once
+    regardless of frame count, and only the emitted frames (fixed-size)
+    multiply.  Frame timestamps are ``range(0, duration_ms, every_ms)``
+    and the frame bytes are the :func:`frame_stub_bytes` stand-in at the
+    clearly-marked codec boundary.
     """
-    import pyspark.sql.functions as F
-
-    @F.pandas_udf("binary")
-    def _frame_stub(media: pd.Series, ts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [frame_stub_bytes(m, t) for m, t in zip(media, ts)],
-            dtype=object,
-        )
-
-    duration = F.coalesce(F.col(meta_col)["duration_ms"], F.lit(0)).cast("long")
-    ts_array = F.when(
-        duration >= 1,
-        F.sequence(
-            F.lit(0).cast("long"), duration - 1, F.lit(int(every_ms)).cast("long")
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    passthrough = [c for c in df.columns if c != media_col]
-    exploded = df.select(*df.columns, F.explode(ts_array).alias("frame_ts_ms"))
-    return exploded.select(
-        *passthrough,
-        "frame_ts_ms",
-        _frame_stub(F.col(media_col), F.col("frame_ts_ms")).alias("frame"),
+    passthrough = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(
+        list(passthrough)
+        + [
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
     )
+    keep = [f.name for f in passthrough]
+    step = int(every_ms)
+
+    def _duration(meta) -> int:
+        # struct metas arrive as dicts; map metas as dicts or key/value
+        # tuple lists depending on the Arrow conversion
+        if meta is None:
+            return 0
+        if not isinstance(meta, dict):
+            meta = dict(meta)
+        d = meta.get("duration_ms")
+        return int(d) if d is not None else 0
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in keep}
+            ts_out: list[int] = []
+            frames: list[bytes] = []
+            metas = pdf[meta_col] if meta_col in pdf.columns else None
+            for i in range(len(pdf)):
+                payload = pdf[media_col].iloc[i]
+                duration = _duration(metas.iloc[i]) if metas is not None else 0
+                for t in range(0, duration, step):
+                    for c in keep:
+                        out[c].append(pdf[c].iloc[i])
+                    ts_out.append(t)
+                    frames.append(frame_stub_bytes(payload, t))
+            res = pd.DataFrame(out, columns=keep)
+            res["frame_ts_ms"] = pd.Series(ts_out, dtype="int64")
+            res["frame"] = pd.Series(frames, dtype=object)
+            yield res
+
+    return df.mapInPandas(_map, schema=out_schema)
 
 
 def resize_images(
