@@ -442,3 +442,122 @@ def decode_sensor_community_jvm(
         .otherwise(F.lit(None).cast("string"))
         .alias("error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JVM form of the recursive Tasmota SENSOR flatten (D10) — the dynamic-key
+# decoder that previously required the Arrow kernel.  The kernel's recursion
+# is bounded (dotted paths go at most three levels: key.dkey.dskey, with
+# typed DS-subtrees stripped of Type/Address — ``decode/tasmota.py:22-112``),
+# so it unrolls into nested from_json over map<string,string>: objects at
+# each level arrive as canonical JSON text and re-parse one level down.
+# ---------------------------------------------------------------------------
+
+_SMAP = "map<string,string>"
+
+
+def decode_tasmota_sensor_jvm(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Tasmota sensor flatten as pure column expressions — no Python.
+
+    Exactly the kernel's state space: ``Time`` passes through; each
+    top-level object value contributes ``key.dkey`` entries for its
+    scalar members; a depth-3 object contributes ``key.dkey.dskey``
+    entries for its non-``Type``/``Address`` members only when it carries
+    ``Type`` (a typed DS subtree), else nothing.  Non-object payloads and
+    unparseable JSON poison the row (the kernel's ``.items()`` raise).
+
+    Documented divergences from the Arrow kernel (same class as the other
+    ``*_jvm`` twins): reading values are raw scalar texts rather than
+    JSON-encoded (identical after :func:`readings_to_columns`' casts);
+    JSON ``null`` leaf values become absent-valued map entries rather
+    than the text ``"null"``.  Dotted-path collisions keep the LAST
+    entry in kernel assignment order (dict semantics, explicit dedup —
+    DUPLICATED_MAP_KEY would otherwise kill the job).
+    """
+    from ..colutil import dedup_entries_last, let
+
+    def is_obj(v: Column) -> Column:
+        return v.isNotNull() & v.startswith("{")
+
+    def entry(k: Column, v: Column) -> Column:
+        return F.struct(k.alias("key"), v.alias("value"))
+
+    def ds_entries(prefix: Column, raw_obj: Column) -> Column:
+        """Depth-3 typed subtree: `prefix.dskey` for members minus
+        Type/Address, only when the subtree carries Type."""
+        return let(
+            F.from_json(raw_obj, _SMAP),
+            lambda m3: F.when(
+                F.map_contains_key(m3, "Type"),
+                F.transform(
+                    F.filter(
+                        F.map_entries(m3),
+                        lambda d: ~d["key"].isin("Type", "Address"),
+                    ),
+                    lambda d: entry(
+                        F.concat(prefix, F.lit("."), d["key"]), d["value"]
+                    ),
+                ),
+            ).otherwise(F.array().cast(_ENTRY_T)),
+        )
+
+    def subtree_entries(e: Column) -> Column:
+        """One top-level object value -> its `key.dkey[...]` entries."""
+        return let(
+            F.from_json(e["value"], _SMAP),
+            lambda m2: F.flatten(
+                F.transform(
+                    F.map_entries(m2),
+                    lambda d: F.when(
+                        is_obj(d["value"]),
+                        ds_entries(
+                            F.concat(e["key"], F.lit("."), d["key"]), d["value"]
+                        ),
+                    ).otherwise(
+                        F.array(
+                            entry(
+                                F.concat(e["key"], F.lit("."), d["key"]),
+                                d["value"],
+                            )
+                        )
+                    ),
+                )
+            ),
+        )
+
+    m1 = F.from_json(F.col(payload_col), _SMAP)
+    corrupt = F.from_json(
+        F.col(payload_col),
+        "struct<`_corrupt` string>",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )["_corrupt"]
+    # non-object JSON (scalar/array payloads) parses to a NULL map — the
+    # kernel's message.items() raise, i.e. a poison row
+    bad = F.col(payload_col).isNull() | m1.isNull() | corrupt.isNotNull()
+
+    entries = let(
+        m1,
+        lambda m: F.concat(
+            F.when(
+                F.map_contains_key(m, "Time"),
+                F.array(entry(F.lit("Time"), F.try_element_at(m, F.lit("Time")))),
+            ).otherwise(F.array().cast(_ENTRY_T)),
+            F.flatten(
+                F.transform(
+                    F.filter(F.map_entries(m), lambda e: is_obj(e["value"])),
+                    subtree_entries,
+                )
+            ),
+        ),
+    )
+    reading = let(entries, lambda a: F.map_from_entries(dedup_entries_last(a)))
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(
+        *keep,
+        F.when(~bad, reading)
+        .otherwise(F.lit(None).cast(_SMAP))
+        .alias("reading"),
+        F.when(bad, F.lit("DecodeError: unparseable Tasmota sensor payload"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error"),
+    )

@@ -277,6 +277,32 @@ def q_tasmota_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tasmota_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 as nested from_json column expressions
+    (decode_tasmota_sensor_jvm) — same envelopes incl. the typed
+    DS subtree, same pivot, same oracle, no Python workers."""
+    from commons_codec_spark.functions.telemetry import decode_tasmota_sensor_jvm
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    payload = F.format_string(
+        '{"Time":"%s","ANALOG":{"Temperature1":%d},'
+        '"SML":{"m0":{"Type":"counter","Address":"0x1","Total_in":%d}},'
+        '"TempUnit":"C"}',
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("user_id") % 40, cents,
+    )
+    env = ev.select("event_id", payload.alias("payload"))
+    decoded = decode_tasmota_sensor_jvm(env, "payload")
+    r = F.col("reading")
+    return decoded.select(
+        "event_id",
+        F.translate(r["Time"], '"', "").alias("time_s"),
+        r["ANALOG.Temperature1"].cast("long").alias("analog_temp"),
+        r["SML.m0.Total_in"].cast("long").alias("sml_total"),
+    )
+
+
 SQL_TASMOTA = """
 SELECT event_id,
        strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
@@ -811,6 +837,7 @@ EXTRA_QUERIES = {
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
     "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
+    "telemetry_tasmota_jvm": (q_tasmota_decode_jvm, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
     "telemetry_sensor_community_jvm": (q_sensor_community_decode_jvm, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from commons_codec_spark.functions.dms import route_schema
-from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.lake.interface import LakeSink
 from commons_codec_spark.registry import SchemaRegistry
 from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
 
@@ -61,7 +61,7 @@ class TableTarget:
     registry state and the routing key can never disagree.
     """
 
-    table: KeyedLakeTable
+    table: LakeSink
     config: PipelineConfig
 
 

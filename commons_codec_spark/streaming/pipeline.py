@@ -6,12 +6,12 @@ Engine lifecycle (SURVEY.md §3, target shape)::
         decode (JVM-compiled descriptor decode; Arrow UDF fallback)
         → validate / DLQ split
         → per-key two-branch fold (skew-salted two-phase reduce)
-        → KeyedLakeTable.merge (bucket-pruned, ordering-guarded, idempotent)
+        → LakeSink.merge (bucket-pruned, ordering-guarded, idempotent)
         → metrics + lineage
     ] with checkpointed offsets
 
 Exactly-once: Structured Streaming replays a failed micro-batch with the
-same batch_id; ``KeyedLakeTable.merge`` refuses to re-apply an applied
+same batch_id; the sink's ``merge`` refuses to re-apply an applied
 batch_id, so replay is a no-op (the ON-CONFLICT-DO-NOTHING analog at batch
 granularity — reference motivation ``/root/reference/CHANGES.md:20-24``).
 
@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
 from commons_codec_spark.functions.dynamodb import compile_direct_decoder
-from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.lake.interface import LakeSink
 from commons_codec_spark.operators.cdc_fold import fold_net_changes
 from commons_codec_spark.registry import SchemaRegistry
 
@@ -111,7 +111,7 @@ class CDCPipeline:
     def __init__(
         self,
         spark: SparkSession,
-        table: KeyedLakeTable,
+        table: LakeSink,
         config: PipelineConfig,
         registry: SchemaRegistry | None = None,
         checkpoint_dir: str | None = None,

@@ -313,3 +313,65 @@ def test_tts_ttn_jvm_nonnumeric_settings_total(spark):
     assert row["error"] is None
     assert "bw" not in row["reading"] and "freq" not in row["reading"]
     assert row["reading"]["sf"] == "7"
+
+
+def test_tasmota_sensor_jvm_matches_arrow_kernel(spark):
+    """The recursive D10 flatten as nested from_json: every kernel branch
+    — Time passthrough, scalar depth-2, typed DS subtree (Type/Address
+    stripped), untyped depth-3 skipped, non-dict top values ignored,
+    poison + non-object payloads error — and a Python-free plan."""
+    import json as _json
+
+    from commons_codec_spark.functions.telemetry import (
+        decode_tasmota_sensor_jvm,
+        decode_telemetry,
+    )
+
+    payloads = [
+        # all branches at once
+        ('{"Time":"t0","ANALOG":{"Temperature1":33,"Bias":-2},'
+         '"SML":{"m0":{"Type":"counter","Address":"0x1","Total_in":7,"Volts":231.5},'
+         '"m1":{"NoType":1}},"TempUnit":"C","Switch1":"ON"}'),
+        # no Time; boolean and null-ish scalars
+        '{"DHT22":{"Temperature":21.4,"Humidity":60,"Alive":true}}',
+        # deep subtree without Type at depth 3 contributes nothing
+        '{"X":{"y":{"z":{"Deep":1}}}}',
+        "{broken",
+        '"just-a-string"',
+        "[1,2,3]",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "id long, payload string"
+    )
+    jvm = {r["id"]: r for r in decode_tasmota_sensor_jvm(df).collect()}
+    ref = {r["id"]: r for r in decode_telemetry(df, "tasmota_sensor").collect()}
+
+    for i in range(len(payloads)):
+        assert (jvm[i]["error"] is None) == (ref[i]["error"] is None), i
+        if ref[i]["error"] is not None:
+            continue
+        # same key sets; values equal after JSON-decoding the kernel's
+        # encoding (the JVM form carries raw scalar texts)
+        assert set(jvm[i]["reading"]) == set(ref[i]["reading"]), i
+        for k, v in ref[i]["reading"].items():
+            decoded = _json.loads(v)
+            raw = jvm[i]["reading"][k]
+            if isinstance(decoded, str):
+                assert raw == decoded, (i, k)
+            elif isinstance(decoded, bool):
+                assert raw == ("true" if decoded else "false"), (i, k)
+            else:
+                assert float(raw) == float(decoded), (i, k)
+
+    r0 = jvm[0]["reading"]
+    assert r0["Time"] == "t0"
+    # top-level non-dict values (TempUnit, Switch1) contribute nothing
+    assert set(r0) == {
+        "Time", "ANALOG.Temperature1", "ANALOG.Bias",
+        "SML.m0.Total_in", "SML.m0.Volts",
+    }
+    assert jvm[2]["reading"] == {}  # untyped deep subtree: nothing
+    assert jvm[3]["error"] and jvm[4]["error"] and jvm[5]["error"]
+
+    plan = decode_tasmota_sensor_jvm(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
