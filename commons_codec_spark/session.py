@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Python-dict map semantics engine-wide: duplicate map keys keep the
+        # LAST entry instead of throwing DUPLICATED_MAP_KEY.  The decoders
+        # model dict building (reference kernels assign in order, later
+        # wins), and the default EXCEPTION policy would let one colliding
+        # payload kill a whole batch.  An explicit O(n²) entry-dedup was
+        # measured 6× slower on the TTS/TTN decode (interpreted
+        # slice+exists per element); the native policy costs nothing.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Parquet scan granularity.  16 MB keeps map-side parallelism high at
         # the GB-scale local bench (677 MB input / 128 MB default = 6 tasks —
         # measured to cap local[32] at local[6] throughput); on a 100 TB

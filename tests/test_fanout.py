@@ -160,3 +160,86 @@ def test_fanout_partial_crash_resumes_per_sink(spark, tmp_path):
     assert not m["tables"]["public:orders"].get("skipped")
     assert orders_table.read().count() == 5
     assert targets[("public", "users")].table.read().count() == 7
+
+
+def test_fanout_control_events_scoped_to_their_table(spark, tmp_path):
+    """DDL control events routed through the fan-out act on THEIR table
+    only: a drop-table for public.users (arrival-order semantics: wipes
+    inserts before it, keeps those at/after) must not touch public.orders
+    or the dms target."""
+    rows = []
+    for uid in range(8):
+        rows.append(
+            ("insert", 10 + uid, "public", "users",
+             '{"uid":{"N":"%d"}}' % uid,
+             '{"uid":{"N":"%d"},"name":{"S":"u%d"}}' % (uid, uid), 0)
+        )
+    rows.append(("drop-table", 14, "public", "users", None, None, 0))
+    for oid in range(5):
+        rows.append(
+            ("insert", 20 + oid, "public", "orders",
+             '{"oid":{"N":"%d"}}' % oid,
+             '{"oid":{"N":"%d"},"amount":{"N":"%d"}}' % (oid, 100 * oid), 0)
+        )
+    events = spark.createDataFrame(
+        rows,
+        "op string, commit_seq long, schema_name string, table_name string,"
+        " keys_json string, image string, batch_id long",
+    )
+
+    def mk(name, key, img):
+        return TableTarget(
+            KeyedLakeTable.create(
+                spark, str(tmp_path / name), key_schema={key: "double"},
+                n_buckets=2,
+            ),
+            PipelineConfig(keys=[key], image_columns=img,
+                           discover_columns=False, handle_control=True),
+        )
+
+    targets = {
+        ("public", "users"): mk("users", "uid", {"uid": "N", "name": "S"}),
+        ("public", "orders"): mk("orders", "oid", {"oid": "N", "amount": "N"}),
+    }
+    pipe = MultiTablePipeline(spark, targets)
+    pipe.run_replay(events)
+
+    users = sorted(
+        int(r["uid"]) for r in targets[("public", "users")].table.read().collect()
+    )
+    # drop at seq 14 wipes uid 0..3 (seqs 10..13); uid 4..7 survive
+    assert users == [4, 5, 6, 7]
+    assert targets[("public", "orders")].table.read().count() == 5
+    # registry reset applies to users only
+    assert not pipe.registry.get("public", "users").exists
+    assert pipe.registry.get("public", "orders").exists
+
+
+def test_fanout_streaming_path_matches_batch(spark, tmp_path):
+    """The fan-out's readStream/foreachBatch form lands the same per-table
+    states as the batch replay."""
+    events = _mk_events(spark).drop("batch_id")
+    src_dir = str(tmp_path / "stream-src")
+    events.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    batch_targets = _targets(spark, tmp_path / "batch")
+    MultiTablePipeline(spark, batch_targets).apply_batch(
+        spark.read.parquet(src_dir), batch_id=0
+    )
+
+    stream_targets = _targets(spark, tmp_path / "stream")
+    pipe = MultiTablePipeline(
+        spark, stream_targets, checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = pipe.run_stream(
+        src_dir,
+        schema=("op string, commit_seq long, schema_name string,"
+                " table_name string, keys_json string, image string"),
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    for key in batch_targets:
+        a = sorted(map(tuple, batch_targets[key].table.read().collect()))
+        b = sorted(map(tuple, stream_targets[key].table.read().collect()))
+        assert a == b and a, key
