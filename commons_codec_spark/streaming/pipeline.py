@@ -52,14 +52,16 @@ class PipelineConfig:
     #: requires the default dialect + ``touched_hint`` (the prescan); other
     #: configurations fall back to unsalted.
     salt_chunks: int | str | None = None
-    #: Minimum hottest-key event count before auto salting engages — below
-    #: this the extra shuffle costs more than the straggling sort run it
-    #: removes.  Measured on the 32-core bench: a 300k-event hot key in a
-    #: 1M-event batch replays 1.15× the uniform time unsalted but 1.48×
-    #: salted (overhead dominates); a 2.4M-event hot key in an 8M batch
-    #: replays 1.75× unsalted vs 1.31× salted (straggler dominates).  The
-    #: crossover sits near a ~1M-event hot key, independent of batch size
-    #: to first order (the straggler is absolute single-task time).
+    #: Minimum per-key event count for a key to be treated as hot — keys
+    #: above it are collected in the prescan (hottest 64) and passed to
+    #: the fold as TARGETED salt targets; everything below folds in one
+    #: chunk, untaxed.  Measured on the 32-core bench (interleaved
+    #: min-of-3): a 2.4M-event hot key replays ~1.4× the uniform wall
+    #: unsalted, and targeted salting with the phase-1 persist recovers
+    #: it to at-or-below the uniform wall (27.7 s → 17.4 s at 4M events,
+    #: bit-identical state); a 300k-event hot key costs ≤1.15× unsalted —
+    #: not worth the second phase.  The floor is absolute single-task
+    #: work, independent of batch size to first order.
     auto_salt_floor: int = 1_000_000
     discover_columns: bool = True  # additive schema evolution from images
     dlq_dir: str | None = None
@@ -319,6 +321,7 @@ class CDCPipeline:
         op = F.col("op")
         salt = self.cfg.salt_chunks
         auto_salt = salt == "auto"
+        hot_keys: list[tuple] | None = None
         if auto_salt:
             salt = None  # resolved below when the prescan can measure skew
         t_hint = time.time()
@@ -345,6 +348,13 @@ class CDCPipeline:
                     F.count(F.when(op == "update", F.lit(1))).alias("__upd"),
                     F.count(F.when(op == "delete", F.lit(1))).alias("__del"),
                 )
+                hot_struct = F.when(
+                    kd_ok & (F.col("__n") > int(self.cfg.auto_salt_floor)),
+                    F.struct(
+                        F.col("__n").alias("n"),
+                        *[F.col(k) for k in self.cfg.keys],
+                    ),
+                )
                 row = per_key.agg(
                     F.sum("__n").alias("events"),
                     F.sum(F.when(~kd_ok, F.col("__n"))).alias("dlq_rows"),
@@ -353,10 +363,20 @@ class CDCPipeline:
                     F.sum("__del").alias("op_delete"),
                     F.collect_set(F.when(kd_ok, bucket)).alias("buckets"),
                     F.max(F.when(kd_ok, F.col("__n"))).alias("max_key_events"),
+                    # the keys above the salting floor — hottest first, top
+                    # 64 (a batch with more hot keys than that is uniform
+                    # enough that AQE handles the rest)
+                    F.slice(
+                        F.sort_array(F.collect_list(hot_struct), asc=False),
+                        1, 64,
+                    ).alias("hot_keys"),
                 ).first()
                 salt = self._resolve_auto_salt(
                     int(row["events"] or 0), int(row["max_key_events"] or 0)
                 )
+                hot_keys = [
+                    tuple(r[k] for k in self.cfg.keys) for r in row["hot_keys"]
+                ] if salt else None
             else:
                 row = kd.agg(
                     F.count(F.lit(1)).alias("events"),
@@ -397,6 +417,7 @@ class CDCPipeline:
             payload_cols=payload_cols,
             seq_col=self.cfg.seq_col,
             salt_chunks=salt,
+            hot_keys=hot_keys if auto_salt else None,
         )
         t_merge = time.time()
         merge_metrics = self.table.merge(net, batch_id=batch_id, touched=touched)
