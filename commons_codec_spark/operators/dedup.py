@@ -213,6 +213,85 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
 
 
+def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components via large-star / small-star alternation.
+
+    Same contract as :func:`dedup_clusters` — (id, cluster_id) with the
+    component minimum as the label — but converging in **O(log n)**
+    rounds instead of O(component diameter): the scale path for graphs
+    with long chains (e.g. chained near-duplicates A≈B≈C≈…), where
+    min-label propagation needs one round per hop.  Each round is two
+    distributed groupBy+join passes (large-star hangs every
+    higher-numbered neighbor off its neighborhood minimum; small-star
+    does the same for the lower-or-equal neighborhood), edge count
+    monotonically non-increasing toward a star per component.  The loop
+    is driver-side like the min-label variant, but the round count — the
+    per-round job-scheduling overhead the driver loop costs — is
+    logarithmic, which is what matters at billions of edges.
+    """
+
+    def bidir(e: DataFrame) -> DataFrame:
+        return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        b = bidir(e)
+        mins = b.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        return (
+            b.filter(F.col("v") > F.col("u"))
+            .join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge toward the smaller endpoint, then hang every
+        # node (and its <= neighbors) off the neighborhood minimum
+        le = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = le.groupBy("u").agg(F.min("v").alias("m"))
+        hang = (
+            le.join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfed = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            hang.unionAll(selfed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = bidir(edges).select(F.col("u").alias("id")).distinct().localCheckpoint()
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            # fixpoint: every component is a star rooted at its minimum
+            labels = bidir(edges).groupBy(F.col("u").alias("id")).agg(
+                F.min("v").alias("nbr_min")
+            )
+            return nodes.join(labels, on="id", how="left").select(
+                "id",
+                F.least(F.coalesce("nbr_min", F.col("id")), F.col("id")).alias(
+                    "cluster_id"
+                ),
+            )
+    raise RuntimeError(f"dedup_clusters_star did not converge in {max_iters} rounds")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

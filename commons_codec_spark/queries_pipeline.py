@@ -168,6 +168,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the O(log n)-round large-star/small-star
+    algorithm (the scale path for long near-dup chains) — identical
+    oracle as the min-label variant."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(
+        aug, "doc_id", "text", num_hashes=8, band_size=2, verify_threshold_pct=50
+    )
+    return dedup.dedup_clusters_star(pairs.select("a", "b")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 pairs AS (SELECT a, b FROM ({SQL_DEDUP_MINHASH}) t),
@@ -461,6 +474,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -273,3 +273,35 @@ def test_sampling_large_ids_no_overflow(spark):
     for i in ids:
         expect = (((i + 7) % 2**32) * 2654435761 % 2**32) / 2**32
         assert abs(got[i] - expect) < 1e-12, (i, got[i], expect)
+
+
+def test_dedup_clusters_star_equals_min_label(spark):
+    """Large-star/small-star must produce exactly the min-label clusters,
+    including on a long chain (min-label's worst case: O(n) rounds) and
+    random multi-component graphs."""
+    import random
+
+    from commons_codec_spark.operators import dedup as dd
+
+    rng = random.Random(3)
+    # a 40-node chain + random components + an isolated pair
+    edges = [(i, i + 1) for i in range(100, 140)]
+    for base in (200, 300, 400):
+        nodes = [base + i for i in range(rng.randint(3, 9))]
+        for _ in range(len(nodes) + 2):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+    edges.append((900, 901))
+    pairs = spark.createDataFrame(edges, "a long, b long")
+
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in dd.dedup_clusters_star(pairs).collect()
+    }
+    minlbl = {
+        (r["id"], r["cluster_id"])
+        for r in dd.dedup_clusters(pairs, max_iters=64).collect()
+    }
+    assert star == minlbl
+    # chain collapses to its minimum in logarithmic rounds
+    assert {(i, 100) for i in range(100, 141)} <= star
