@@ -9,4 +9,5 @@ only buckets containing changed keys, snapshot isolation, idempotent
 commits) is the same one Iceberg uses.
 """
 
+from commons_codec_spark.lake.interface import LakeSink  # noqa: F401
 from commons_codec_spark.lake.table import KeyedLakeTable  # noqa: F401
