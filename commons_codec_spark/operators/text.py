@@ -192,3 +192,38 @@ def rolling_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
         return let(F.transform(grams, lambda g: F.md5(g)), over_hashes)
 
     return let(normalize(text), over_norm)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied IN THIS ORDER (URL first so an email-like
+#: userinfo inside a URL is already gone when the email pass runs).  Kept
+#: to the regex subset Java (Spark) and RE2 (DuckDB) treat identically.
+REDACT_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact(text: Column) -> Column:
+    """Scrub URLs, e-mail addresses and IPv4 literals to placeholder
+    tokens — the standard pre-training privacy pass.  Pure
+    ``regexp_replace`` chain (JVM, codegen); at 100 TB this is a map-only
+    stage with no shuffle."""
+    out = text
+    for _name, pattern, token in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_counts(text: Column) -> list[Column]:
+    """One ``<name>_hits`` count column per redaction pattern, evaluated
+    on the SAME pre-redaction text (order-independent counting; the
+    redact() chain itself stays sequential)."""
+    return [
+        F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"{name}_hits")
+        for name, pattern, _token in REDACT_PATTERNS
+    ]

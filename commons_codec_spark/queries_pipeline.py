@@ -279,6 +279,58 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: deterministic synthetic contacts (e-mail, URL,
+    IPv4 for every third doc) are injected into each document, then the
+    redaction chain replaces them with placeholder tokens.  Per-doc hit
+    counts + an md5 over the scrubbed text make the whole transform
+    oracle-checkable byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    injected = F.concat(
+        F.col("text"),
+        F.format_string(" contact user%d@example.com", did),
+        F.format_string(" via https://example.org/doc/%d?ref=x", did),
+        F.when(
+            did % 3 == 0,
+            F.format_string(" from 10.0.%d.%d", did % 256, did % 100),
+        ).otherwise(F.lit("")),
+    )
+    from commons_codec_spark.operators.text import redact, redaction_counts
+
+    return d.select(
+        "doc_id",
+        *redaction_counts(injected),
+        F.md5(redact(injected)).alias("redacted_md5"),
+    )
+
+
+_SQL_RE_URL = r"https?://[^\s]+"
+_SQL_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SQL_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+SQL_TEXT_REDACT = f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com'
+                || ' via https://example.org/doc/' || doc_id || '?ref=x'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                        ELSE '' END AS txt
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_SQL_RE_URL}')) AS BIGINT) AS url_hits,
+       CAST(len(regexp_extract_all(txt, '{_SQL_RE_EMAIL}')) AS BIGINT) AS email_hits,
+       CAST(len(regexp_extract_all(txt, '{_SQL_RE_IP}')) AS BIGINT) AS ipv4_hits,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+               txt, '{_SQL_RE_URL}', '<URL>', 'g'),
+               '{_SQL_RE_EMAIL}', '<EMAIL>', 'g'),
+               '{_SQL_RE_IP}', '<IP>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_EN = "['the','and','of','to','a','in','is','it','that','for']"
 
@@ -478,6 +530,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }

@@ -305,3 +305,32 @@ def test_dedup_clusters_star_equals_min_label(spark):
     assert star == minlbl
     # chain collapses to its minimum in logarithmic rounds
     assert {(i, 100) for i in range(100, 141)} <= star
+
+
+def test_text_redaction(spark):
+    """URL pass runs first so an email-like userinfo inside a URL is
+    consumed by <URL>; standalone emails and IPv4 literals get their own
+    tokens; counts are computed on the pre-redaction text."""
+    rows = [
+        (1, "mail me at bob@corp.example.com or see https://u:pw@host.example/x"),
+        (2, "server at 192.168.0.1 and 10.0.0.2, version 1.2"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.redact(F.col("text")).alias("clean"),
+            *text.redaction_counts(F.col("text")),
+        ).collect()
+    }
+    assert out[1]["clean"] == "mail me at <EMAIL> or see <URL>"
+    # counts are over the PRE-redaction text: the URL's userinfo also
+    # matches the email pattern, so email_hits sees both
+    assert out[1]["email_hits"] == 2 and out[1]["url_hits"] == 1
+    assert out[2]["clean"] == "server at <IP> and <IP>, version 1.2"
+    assert out[2]["ipv4_hits"] == 2
+    assert out[3]["clean"] == rows[2][1]
+    plan = df.select(text.redact(F.col("text")))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
