@@ -227,3 +227,45 @@ def redaction_counts(text: Column) -> list[Column]:
         F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"{name}_hits")
         for name, pattern, _token in REDACT_PATTERNS
     ]
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratios (Gopher-style quality filter signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_ratios(text: Column) -> list[Column]:
+    """Duplicate-token and duplicate-character percentages — the
+    repetition signals corpus quality filters threshold on (boilerplate
+    and degenerate generations repeat themselves).  Over whitespace
+    tokens of the normalized text; integer FLOOR percentages so any
+    engine states the identical arithmetic.
+
+    * ``dup_token_pct``  = floor((n_tokens − n_distinct) · 100 / n_tokens)
+    * ``dup_char_pct``   = floor((chars_all − chars_distinct) · 100 / chars_all)
+      where chars are summed over the token multiset vs the distinct set
+      (set-sum, so engine-specific distinct ORDER cannot matter).
+
+    Pure array expressions — map-only, no shuffle, no UDF.
+    """
+    toks = tokens(text)
+
+    def pct(num: Column, den: Column) -> Column:
+        return F.floor(num * 100 / F.greatest(den, F.lit(1))).cast("long")
+
+    return [
+        let(
+            toks,
+            lambda t: pct(
+                F.size(t) - F.size(F.array_distinct(t)), F.size(t)
+            ),
+        ).alias("dup_token_pct"),
+        let(
+            toks,
+            lambda t: pct(
+                F.length(F.concat_ws("", t))
+                - F.length(F.concat_ws("", F.array_distinct(t))),
+                F.length(F.concat_ws("", t)),
+            ),
+        ).alias("dup_char_pct"),
+    ]

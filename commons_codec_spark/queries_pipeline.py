@@ -305,6 +305,42 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: every fourth document gets its own
+    text appended once (a fully-duplicated doc half — the degenerate
+    case filters must flag), the rest measure natural token repetition."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    t = F.when(did % 4 == 0, F.concat_ws(" ", "text", "text")).otherwise(
+        F.col("text")
+    )
+    from commons_codec_spark.operators.text import repetition_ratios
+
+    return d.select("doc_id", *repetition_ratios(t))
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text ELSE text END AS raw
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')), ' ') AS tk
+    FROM t
+)
+SELECT doc_id,
+       CAST(FLOOR((len(tk) - len(list_distinct(tk))) * 100
+                  / greatest(len(tk), 1)) AS BIGINT) AS dup_token_pct,
+       CAST(FLOOR((len(array_to_string(tk, '')) -
+                   len(array_to_string(list_distinct(tk), ''))) * 100
+                  / greatest(len(array_to_string(tk, '')), 1)) AS BIGINT)
+           AS dup_char_pct
+FROM toks
+"""
+
+
 _SQL_RE_URL = r"https?://[^\s]+"
 _SQL_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SQL_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
@@ -531,6 +567,7 @@ PIPELINE_QUERIES = {
     "similarity_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }

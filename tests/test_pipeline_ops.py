@@ -334,3 +334,20 @@ def test_text_redaction(spark):
     assert out[3]["clean"] == rows[2][1]
     plan = df.select(text.redact(F.col("text")))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_repetition_ratios(spark):
+    rows = [
+        (1, "a a a a"),                # one distinct of four
+        (2, "all words here differ"),  # no repetition
+        (3, "spam spam spam eggs"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.select("id", *text.repetition_ratios(F.col("text"))).collect()
+    }
+    assert out[1]["dup_token_pct"] == 75 and out[1]["dup_char_pct"] == 75
+    assert out[2]["dup_token_pct"] == 0 and out[2]["dup_char_pct"] == 0
+    # 4 tokens, 2 distinct -> 50%; chars 16 vs 8 -> 50%
+    assert out[3]["dup_token_pct"] == 50 and out[3]["dup_char_pct"] == 50
