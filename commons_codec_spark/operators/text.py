@@ -269,3 +269,56 @@ def repetition_ratios(text: Column) -> list[Column]:
             ),
         ).alias("dup_char_pct"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_by_tokens(
+    df,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split each document into overlapping fixed-token-count chunks —
+    the standard context-window preparation step before tokenization.
+
+    One row per chunk: all input columns + ``chunk_idx`` (0-based) +
+    ``chunk_text`` (the whitespace tokens ``[start, start+chunk_tokens)``
+    re-joined) + ``chunk_n_tokens``.  Start offsets advance by
+    ``chunk_tokens - overlap``; the final chunk may be shorter.  Pure
+    array expressions (``sequence`` + ``slice`` under a ``let``) and one
+    ``explode`` — the row multiplication happens JVM-side with no UDF,
+    and the (large) text column is never duplicated upstream of the
+    explode.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+
+    chunk_structs = let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(t) - 1, F.lit(0)),
+                F.lit(stride),
+            ),
+            lambda s: F.struct(
+                (s / stride).cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(F.size(t) - s, F.lit(chunk_tokens))
+                .cast("long")
+                .alias("chunk_n_tokens"),
+            ),
+        ),
+    )
+    out = df.select("*", F.explode(chunk_structs).alias("__c"))
+    return out.select(
+        *df.columns, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_n_tokens"
+    )

@@ -341,6 +341,75 @@ FROM toks
 """
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each doc split into 32-token chunks with
+    8-token overlap (stride 24); one row per chunk with a content md5 so
+    the boundaries are pinned byte-for-byte."""
+    from commons_codec_spark.operators.text import chunk_by_tokens
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = chunk_by_tokens(d, "text", chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+SQL_TEXT_CHUNKING = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk FROM documents
+),
+starts AS (
+    SELECT doc_id, tk,
+           unnest(range(0, greatest(len(tk), 1), 24)) AS s
+    FROM toks
+)
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_idx,
+       CAST(least(len(tk) - s, 32) AS BIGINT) AS chunk_n_tokens,
+       md5(array_to_string(list_slice(tk, s + 1, s + 32), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local next-fit sequence packing: docs sharded doc_id%8,
+    packed into 4000-char bins largest-first; per-bin doc count and fill
+    level must match the oracle's identical window arithmetic."""
+    from commons_codec_spark.operators.packing import pack_next_fit
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("sz")
+    )
+    packed = pack_next_fit(
+        d, "doc_id", "sz", budget=4000, shard_expr=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("sz").cast("long").alias("fill"),
+        F.max(F.col("oversize").cast("int")).cast("long").alias("has_oversize"),
+    )
+
+
+SQL_CORPUS_PACKING = """
+WITH packed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+           doc_id % 8 AS shard,
+           CAST(FLOOR((SUM(CAST(n_chars AS BIGINT)) OVER (
+                    PARTITION BY doc_id % 8
+                    ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id
+                ) - CAST(n_chars AS BIGINT)) / 4000) AS BIGINT) AS bin_id
+    FROM documents
+)
+SELECT shard, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) AS BIGINT) AS fill,
+       CAST(MAX(CASE WHEN sz > 4000 THEN 1 ELSE 0 END) AS BIGINT) AS has_oversize
+FROM packed
+GROUP BY shard, bin_id
+"""
+
+
 _SQL_RE_URL = r"https?://[^\s]+"
 _SQL_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SQL_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
@@ -568,6 +637,8 @@ PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_chunking": (q_text_chunking, SQL_TEXT_CHUNKING),
+    "corpus_packing": (q_corpus_packing, SQL_CORPUS_PACKING),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }

@@ -351,3 +351,59 @@ def test_repetition_ratios(spark):
     assert out[2]["dup_token_pct"] == 0 and out[2]["dup_char_pct"] == 0
     # 4 tokens, 2 distinct -> 50%; chars 16 vs 8 -> 50%
     assert out[3]["dup_token_pct"] == 50 and out[3]["dup_char_pct"] == 50
+
+
+def test_chunk_by_tokens_boundaries(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "short text")], "doc_id long, text string")
+    out = text.chunk_by_tokens(df, "text", chunk_tokens=4, overlap=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_n_tokens"])
+        for r in out.collect()
+    )
+    # stride 3 over 10 tokens: starts 0,3,6,9
+    assert [r[1] for r in rows if r[0] == 1] == [0, 1, 2, 3]
+    assert rows[0][2] == "t0 t1 t2 t3"
+    assert rows[1][2] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[3][2] == "t9" and rows[3][3] == 1  # short tail chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "short text", 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        text.chunk_by_tokens(df, "text", chunk_tokens=4, overlap=4)
+
+
+def test_pack_next_fit_properties(spark):
+    from commons_codec_spark.operators.packing import pack_next_fit
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(200)]
+    rows.append((1000, 9999))  # bigger than the whole budget
+    df = spark.createDataFrame(rows, "doc_id long, sz long")
+    packed = pack_next_fit(df, "doc_id", "sz", budget=2000, n_shards=4)
+    got = packed.collect()
+    shards = {}
+    for r in got:
+        shards.setdefault(r["shard"], []).append(r)
+    for shard, rs in shards.items():
+        sizes = [r["sz"] for r in rs]
+        bins = sorted({r["bin_id"] for r in rs})
+        fill = {}
+        for r in rs:
+            fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["sz"]
+        if not any(r["oversize"] for r in rs):
+            # without oversize docs the offset bins are contiguous...
+            assert bins == list(range(len(bins))), shard
+            # ...and every non-final bin is filled to at least
+            # budget − (largest possible previous-doc overhang)
+            for b in bins[:-1]:
+                assert fill[b] >= 2000 - max(sizes), (shard, b)
+    # oversize flagged
+    assert any(r["oversize"] for r in got if r["doc_id"] == 1000)
+    # determinism under repartitioning
+    again = pack_next_fit(df.repartition(7), "doc_id", "sz", budget=2000, n_shards=4)
+    a = sorted((r["doc_id"], r["shard"], r["bin_id"]) for r in got)
+    b = sorted((r["doc_id"], r["shard"], r["bin_id"]) for r in again.collect())
+    assert a == b
