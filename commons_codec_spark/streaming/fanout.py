@@ -130,9 +130,15 @@ class MultiTablePipeline:
 
             unknown_rows = 0
             if unknown:
+                # eqNullSafe: an envelope with a NULL schema/table routes
+                # to an unknown (None, ...) address — plain == would yield
+                # NULL and silently drop such rows from both the count and
+                # the dead-letter output
                 cond = None
                 for s, t in unknown:
-                    c = (F.col("__route_schema") == s) & (F.col(table_col) == t)
+                    c = F.col("__route_schema").eqNullSafe(F.lit(s)) & F.col(
+                        table_col
+                    ).eqNullSafe(F.lit(t))
                     cond = c if cond is None else (cond | c)
                 miss = routed.filter(cond)
                 if self.unknown_table_dlq:

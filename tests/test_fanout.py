@@ -243,3 +243,37 @@ def test_fanout_streaming_path_matches_batch(spark, tmp_path):
         a = sorted(map(tuple, batch_targets[key].table.read().collect()))
         b = sorted(map(tuple, stream_targets[key].table.read().collect()))
         assert a == b and a, key
+
+
+def test_fanout_null_routed_envelopes_are_dead_lettered(spark, tmp_path):
+    """An envelope with a NULL schema or table name must be counted and
+    dead-lettered like any other unknown route — not silently dropped
+    (plain == against a NULL route yields NULL and filters nothing)."""
+    rows = [
+        ("insert", 1, "public", "users", '{"uid":{"N":"1"}}',
+         '{"uid":{"N":"1"},"name":{"S":"u1"}}', 0),
+        ("insert", 2, None, None, '{"x":{"N":"9"}}', '{"x":{"N":"9"}}', 0),
+        ("insert", 3, "public", None, '{"y":{"N":"9"}}', '{"y":{"N":"9"}}', 0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "op string, commit_seq long, schema_name string, table_name string,"
+        " keys_json string, image string, batch_id long",
+    )
+    targets = {
+        ("public", "users"): TableTarget(
+            KeyedLakeTable.create(
+                spark, str(tmp_path / "users"), key_schema={"uid": "double"},
+                n_buckets=2,
+            ),
+            PipelineConfig(keys=["uid"], image_columns={"uid": "N", "name": "S"},
+                           discover_columns=False),
+        )
+    }
+    pipe = MultiTablePipeline(
+        spark, targets, unknown_table_dlq=str(tmp_path / "dlq")
+    )
+    m = pipe.run_replay(events)[0]
+    assert m["unknown_rows"] == 2
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 2
+    assert targets[("public", "users")].table.read().count() == 1
