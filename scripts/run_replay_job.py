@@ -48,7 +48,13 @@ def main() -> None:
              "streams (expects an `event` column keyed on oid)",
     )
     p.add_argument("--handle-control", action="store_true")
-    p.add_argument("--salt-chunks", type=int, default=None)
+    p.add_argument(
+        "--salt-chunks", default=None,
+        type=lambda v: v if v == "auto" else int(v),
+        help="skew salting: an int pins the chunk count (blanket), "
+             "'auto' measures per-key skew in the prescan and salts only "
+             "the hot keys (preferred — see PipelineConfig.salt_chunks)",
+    )
     p.add_argument("--cpus", type=int, default=None, help="local mode only")
     p.add_argument("--selftest", action="store_true", help="generate a synthetic log and replay it")
     p.add_argument(
