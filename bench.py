@@ -223,9 +223,12 @@ def main() -> None:
         hot_dir = os.path.join(work, "eventlog-hot")
         make_log(spark, hot_dir, hot_key_frac=0.3)
         n_b = max(32, 2 * CPUS)
-        # interleaved min-of-2 per variant: a noisy minute on this shared
-        # VM otherwise lands entirely on one side and flips the contrast
-        salted_walls, plain_walls, engaged = [], [], 0
+        # interleaved min-of-2 per variant (salted / unsalted / uniform in
+        # rotation): a noisy minute on this shared VM otherwise lands
+        # entirely on one variant and flips the contrast.  The uniform
+        # denominator is re-measured INSIDE this phase — the headline ran
+        # in a different window and a cross-window ratio would be noise.
+        salted_walls, plain_walls, uniform_walls, engaged = [], [], [], 0
         for i in range(2):
             m = run_replay(
                 spark, hot_dir, os.path.join(work, f"run-hot-salt-{i}"),
@@ -239,15 +242,27 @@ def main() -> None:
                     n_buckets=n_b,
                 )["wall_sec"]
             )
+            uniform_walls.append(
+                run_replay(
+                    spark, log_dir, os.path.join(work, f"run-hot-uni-{i}"),
+                    n_buckets=n_b,
+                )["wall_sec"]
+            )
         hot_salted_wall, hot_plain_wall = min(salted_walls), min(plain_walls)
+        uniform_wall = min(uniform_walls)
         result["hot_key"] = {
             "hot_frac": 0.3,
             "salted_wall_sec": hot_salted_wall,
             "salted_events_per_sec": round(N_EVENTS / hot_salted_wall, 1),
             "salt_chunks_engaged": engaged,
             "unsalted_wall_sec": hot_plain_wall,
-            "wall_samples_sec": {"salted": salted_walls, "unsalted": plain_walls},
-            "ratio_vs_uniform": round(hot_salted_wall / head["wall_sec"], 3),
+            "uniform_wall_sec": uniform_wall,
+            "wall_samples_sec": {
+                "salted": salted_walls,
+                "unsalted": plain_walls,
+                "uniform": uniform_walls,
+            },
+            "ratio_vs_uniform": round(hot_salted_wall / uniform_wall, 3),
             "salted_speedup_vs_unsalted": round(
                 hot_plain_wall / hot_salted_wall, 3
             ),
