@@ -494,6 +494,12 @@ class KeyedLakeTable:
             raise ValueError(
                 "table was not created with changelog=True — no change feed"
             )
+        # Heal on read, not just on the next merge: after a crash between
+        # _write_commit and the publish rename, a reader tailing
+        # read_changes(last+1, head) before any further merge would
+        # otherwise `continue` past the committed-but-unpublished version
+        # and permanently miss its changes.  Cheap and idempotent.
+        self._heal_staged_changes()
         to_version = (
             self._current_commit()["version"] if to_version is None else to_version
         )
@@ -527,6 +533,7 @@ class KeyedLakeTable:
             raise ValueError(
                 "table was not created with changelog=True — no change feed"
             )
+        self._heal_staged_changes()  # same crash window as read_changes
         changes_root = os.path.join(self.root, "changes")
         dirs = sorted(
             d for d in os.listdir(changes_root) if d.startswith("v")

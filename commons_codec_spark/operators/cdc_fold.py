@@ -356,7 +356,11 @@ def fold_net_changes(
             for kt in hot_keys
         ]
     )
-    is_hot = F.array_contains(hot_lit, key_struct)
+    # array_contains is NULL (not false) when any key field is NULL, and a
+    # NULL predicate fails BOTH filter(is_hot) and filter(~is_hot) — NULL-key
+    # rows would vanish from the salted path while the unsalted path folds
+    # them.  Coalesce to false so they deterministically take the cold branch.
+    is_hot = F.coalesce(F.array_contains(hot_lit, key_struct), F.lit(False))
     partial = _fold_closed_form(
         events.withColumn("__chunk", F.when(is_hot, chunk).otherwise(F.lit(0))),
         keys + ["__chunk"], payload_cols, seq_col, op_col,

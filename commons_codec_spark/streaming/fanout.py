@@ -29,17 +29,22 @@ resumes with A skipping (idempotent) and B applying.
 100-TB notes: the persist materializes the batch once (memory-and-disk),
 and every per-table branch is a filter over that cached columnar batch —
 no re-scan of the source per table.  The per-table merge jobs are
-independent DAGs; this driver submits them sequentially for determinism,
-and on a real cluster they can go through concurrent scheduler pools
-unchanged (each touches a disjoint sink).  Routing adds no shuffle: the
+independent DAGs over disjoint sinks, so they are submitted CONCURRENTLY
+(``max_parallel_tables`` threads, one scheduler pool per table; measured
+in ``bench.py``'s fan-out phase and pinned by
+``tests/test_fanout.py::test_concurrent_matches_sequential``).  Results
+are assembled in sorted table order, so metrics stay deterministic
+regardless of completion order.  Routing adds no shuffle: the
 route columns are already in the envelope, and each table's fold/merge
 partitioning is unchanged from the single-table path.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -75,10 +80,16 @@ class MultiTablePipeline:
         registry: SchemaRegistry | None = None,
         checkpoint_dir: str | None = None,
         unknown_table_dlq: str | None = None,
+        max_parallel_tables: int = 4,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.unknown_table_dlq = unknown_table_dlq
+        #: per-batch merge concurrency: the per-table merge jobs touch
+        #: disjoint sinks, so they are submitted from a thread pool (each
+        #: thread tagging its jobs with a per-table scheduler pool).  1 =
+        #: the old sequential submission.
+        self.max_parallel_tables = max(int(max_parallel_tables), 1)
         self.registry = (
             registry
             or (checkpoint_dir and SchemaRegistry.load(checkpoint_dir))
@@ -86,8 +97,12 @@ class MultiTablePipeline:
         )
         self.pipelines: dict[tuple[str, str], CDCPipeline] = {}
         for (schema, table), target in targets.items():
-            cfg = target.config
-            cfg.schema_name, cfg.table_name = schema, table
+            # copy, don't mutate: a caller sharing one PipelineConfig across
+            # targets would otherwise have every pipeline aliased to the
+            # last-registered table's schema:table identity
+            cfg = dataclasses.replace(
+                target.config, schema_name=schema, table_name=table
+            )
             # per-table pipelines share the ONE registry; checkpoint saving
             # is centralized here (one save per batch, not one per table)
             self.pipelines[(schema, table)] = CDCPipeline(
@@ -142,15 +157,50 @@ class MultiTablePipeline:
                     cond = c if cond is None else (cond | c)
                 miss = routed.filter(cond)
                 if self.unknown_table_dlq:
-                    miss.write.mode("append").parquet(self.unknown_table_dlq)
+                    # batch_id-scoped dir + overwrite: a replayed micro-batch
+                    # (crash after the DLQ write, before every per-table
+                    # merge applied) re-writes the same slice instead of
+                    # appending duplicates — the DLQ inherits the same
+                    # exactly-once story as the sinks
+                    miss.write.mode("overwrite").parquet(
+                        os.path.join(self.unknown_table_dlq, f"batch_id={batch_id}")
+                    )
                 unknown_rows = miss.count()
 
+            # Per-table merges touch disjoint sinks and the persisted batch,
+            # so they are independent DAGs: submit them concurrently from a
+            # thread pool, each thread tagging its jobs with a per-table
+            # scheduler pool (effective under FAIR scheduling; under default
+            # FIFO the jobs still overlap whenever the head job leaves cores
+            # idle).  Registry seeding happened in __init__ under distinct
+            # schema:table keys; the only cross-thread mutations are
+            # per-key dict/list writes, which are atomic in CPython.
+            ordered = sorted(known)
             per_table: dict[str, dict] = {}
-            for s, t in sorted(known):
-                sub = routed.filter(
-                    (F.col("__route_schema") == s) & (F.col(table_col) == t)
-                ).drop("__route_schema")
-                m = self.pipelines[(s, t)].apply_batch(sub, batch_id)
+
+            def _one(route):
+                s, t = route
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"fanout-{s}-{t}"
+                )
+                try:
+                    sub = routed.filter(
+                        (F.col("__route_schema") == s) & (F.col(table_col) == t)
+                    ).drop("__route_schema")
+                    return self.pipelines[(s, t)].apply_batch(sub, batch_id)
+                finally:
+                    self.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
+            if self.max_parallel_tables > 1 and len(ordered) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(self.max_parallel_tables, len(ordered))
+                ) as pool:
+                    results = list(pool.map(_one, ordered))
+            else:
+                results = [_one(r) for r in ordered]
+            for (s, t), m in zip(ordered, results):
                 per_table[f"{s}:{t}"] = m
         finally:
             routed.unpersist()
@@ -196,6 +246,11 @@ class MultiTablePipeline:
         ``foreachBatch``; offsets in the checkpoint + per-sink idempotent
         merges = exactly-once across ALL targets."""
         checkpoint = checkpoint_dir or self.checkpoint_dir
+        if checkpoint is None:
+            raise ValueError(
+                "run_stream requires a checkpoint_dir (pass it here or on "
+                "the pipeline) — streaming offsets have nowhere to live"
+            )
         reader = self.spark.readStream.format(source_format).option(
             "maxFilesPerTrigger", max_files_per_trigger
         )

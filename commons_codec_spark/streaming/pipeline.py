@@ -571,6 +571,11 @@ class CDCPipeline:
         in the lake commit log — together: exactly-once.
         """
         checkpoint = checkpoint_dir or self.checkpoint_dir
+        if checkpoint is None:
+            raise ValueError(
+                "run_stream requires a checkpoint_dir (pass it here or on "
+                "the pipeline) — streaming offsets have nowhere to live"
+            )
         reader = (
             self.spark.readStream.format(source_format)
             .option("maxFilesPerTrigger", max_files_per_trigger)

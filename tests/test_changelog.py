@@ -160,6 +160,33 @@ def test_crash_between_feed_write_and_commit_self_heals(spark, tmp_path):
     )
 
 
+def test_reader_heals_committed_but_unpublished_version(spark, tmp_path):
+    """Crash window between _write_commit and the publish rename: the
+    version is committed but its CDF sits in .staged-v*.  A replica
+    tailing read_changes(last+1, head) BEFORE any further merge must still
+    see that version's changes — the readers heal, not just the next
+    merge (otherwise the tail is silently and permanently incomplete)."""
+    import os as _os
+
+    src = _replay_source(spark, tmp_path, n_events=1200)
+    head = src._current_commit()["version"]
+    assert head >= 2
+
+    # simulate the crash: un-publish the head version's CDF dir
+    published = src._changes_dir(head)
+    staged = src._staged_changes_dir(head)
+    _os.replace(published, staged)
+
+    got = src.read_changes(head, head)
+    assert got.count() > 0  # healed on read, no merge in between
+    assert _os.path.isdir(published) and not _os.path.isdir(staged)
+
+    # stream_changes heals the same window
+    _os.replace(published, staged)
+    assert src.stream_changes() is not None
+    assert _os.path.isdir(published)
+
+
 def test_stream_changes_and_retention(spark, tmp_path):
     """The feed is streaming-consumable (readStream picks up every
     version's net rows) and retention is an explicit, bounded operation."""

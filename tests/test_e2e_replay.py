@@ -173,6 +173,38 @@ def test_extreme_hot_key_skew(spark, tmp_path):
     assert hot_row.pa == SET and hot_row.pseq == 7999
 
 
+def test_targeted_salting_keeps_null_key_rows(spark):
+    """fold_net_changes(hot_keys=[...]) over rows whose key fields are NULL:
+    array_contains yields NULL for them, and an uncoalesced predicate would
+    drop them from BOTH the hot and cold branches — the salted fold must
+    agree with the unsalted fold including NULL-key rows (direct operator
+    users don't get the pipeline's DLQ pre-filter)."""
+    rows = [("insert", "hot", "p", f"c{i}", f"v{i}", i) for i in range(200)]
+    rows += [("insert", None, "p", "c", "vnull", 500),
+             ("update", None, "p", "c", "vnull2", 501),
+             ("insert", "cold", None, "c", "vhalf", 600)]
+    df = spark.createDataFrame(
+        rows,
+        "op string, repo string, path string, commit string, content string,"
+        " commit_seq long",
+    )
+    plain = fold_net_changes(df, KEYS, ["commit", "content"])
+    salted = fold_net_changes(
+        df, KEYS, ["commit", "content"], salt_chunks=4,
+        hot_keys=[("hot", "p")],
+    )
+
+    def canon(d):
+        return sorted(
+            ((r.repo, r.path, r.aa, r.aseq, r.pa, r.pseq,
+              tuple(r.row) if r.row else None) for r in d.collect()),
+            key=str,
+        )
+
+    assert canon(plain) == canon(salted)
+    assert salted.filter(F.col("repo").isNull()).count() == 1
+
+
 def test_transform_hook_rewrites_payload(spark, tmp_path, small_log, oracle_state):
     """Tikray-hook analog (`mongodb.py:56-59`): pluggable rewrite stage
     between decode and fold, here a plain column expression."""

@@ -245,6 +245,68 @@ def test_fanout_streaming_path_matches_batch(spark, tmp_path):
         assert a == b and a, key
 
 
+def test_concurrent_matches_sequential(spark, tmp_path):
+    """max_parallel_tables=4 (threaded merge submission, per-table
+    scheduler pools) lands bit-identical per-table state and the same
+    metric shape as the sequential path — the disjoint-sink concurrency
+    must be pure speedup."""
+    events = _mk_events(spark)
+
+    seq_targets = _targets(spark, tmp_path / "seq")
+    m_seq = MultiTablePipeline(
+        spark, seq_targets, max_parallel_tables=1
+    ).run_replay(events)[0]
+
+    con_targets = _targets(spark, tmp_path / "con")
+    m_con = MultiTablePipeline(
+        spark, con_targets, max_parallel_tables=4
+    ).run_replay(events)[0]
+
+    assert sorted(m_seq["tables"]) == sorted(m_con["tables"])
+    assert m_seq["unknown_rows"] == m_con["unknown_rows"] == 1
+    for key in seq_targets:
+        a = sorted(map(tuple, seq_targets[key].table.read().collect()))
+        b = sorted(map(tuple, con_targets[key].table.read().collect()))
+        assert a == b and a, key
+
+
+def test_fanout_dlq_write_is_replay_idempotent(spark, tmp_path):
+    """Re-applying a batch (crash-replay) must not duplicate dead-letter
+    rows: the DLQ write is batch_id-scoped + overwrite."""
+    events = _mk_events(spark)
+    targets = _targets(spark, tmp_path)
+    dlq = str(tmp_path / "dlq")
+    pipe = MultiTablePipeline(spark, targets, unknown_table_dlq=dlq)
+    pipe.apply_batch(events.drop("batch_id"), batch_id=0)
+    pipe.apply_batch(events.drop("batch_id"), batch_id=0)  # replayed batch
+    assert spark.read.parquet(dlq).count() == 1
+
+
+def test_shared_config_instance_not_aliased(spark, tmp_path):
+    """One PipelineConfig instance shared across targets must not collapse
+    every pipeline onto the last-registered schema:table identity."""
+    shared = PipelineConfig(keys=["uid"], image_columns={"uid": "N"},
+                            discover_columns=False)
+
+    def mk(name):
+        return TableTarget(
+            KeyedLakeTable.create(
+                spark, str(tmp_path / name), key_schema={"uid": "double"},
+                n_buckets=2,
+            ),
+            shared,
+        )
+
+    targets = {("public", "a"): mk("a"), ("public", "b"): mk("b")}
+    pipe = MultiTablePipeline(spark, targets)
+    assert pipe.pipelines[("public", "a")].cfg.table_name == "a"
+    assert pipe.pipelines[("public", "b")].cfg.table_name == "b"
+    # the caller's object is untouched
+    assert shared.table_name == PipelineConfig(
+        keys=["uid"], image_columns={"uid": "N"}
+    ).table_name
+
+
 def test_fanout_null_routed_envelopes_are_dead_lettered(spark, tmp_path):
     """An envelope with a NULL schema or table name must be counted and
     dead-lettered like any other unknown route — not silently dropped
