@@ -228,6 +228,22 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     is driver-side like the min-label variant, but the round count — the
     per-round job-scheduling overhead the driver loop costs — is
     logarithmic, which is what matters at billions of edges.
+
+    Convergence probe: ONE light aggregation per round over the new edge
+    set — ``(count, bit_xor(xxhash64(u,v)), sum(xxhash64 as decimal))`` —
+    compared against the previous round's summary.  Edge sets are
+    ``distinct`` by construction, so an unchanged order-invariant summary
+    means an unchanged set (up to a 2^-64-ish collision); the earlier
+    probe ran TWO ``exceptAll`` anti-joins, each a full shuffle of both
+    edge sets, doubling per-round cost in exactly the billions-of-edges
+    regime this variant exists for.
+
+    Crossover vs :func:`dedup_clusters`: on SHALLOW graphs (typical
+    near-dup clusters — copies of copies, diameter 2-4) min-label wins
+    because star pays more fixed rounds of two groupBy+join passes each;
+    star wins when components chain (diameter ≫ log n).  Measured at
+    sf0.1 (shallow): min-label ~5 s, star ~6.5 s — keep both, pick by
+    graph shape.
     """
 
     def bidir(e: DataFrame) -> DataFrame:
@@ -271,14 +287,25 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     nodes = bidir(edges).select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    def summary(e: DataFrame) -> tuple:
+        h = F.xxhash64("u", "v")
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(h).alias("x"),
+            # decimal(38,0): ANSI mode is on session-wide and a plain long
+            # sum of 2^63-scale hashes overflows (and would throw)
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["x"], row["s"])
+
+    sig = summary(edges)
     for _ in range(max_iters):
         new_edges = small_star(large_star(edges)).localCheckpoint()
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
-        )
+        new_sig = summary(new_edges)
         edges = new_edges
-        if changed == 0:
+        unchanged, sig = new_sig == sig, new_sig
+        if unchanged:
             # fixpoint: every component is a star rooted at its minimum
             labels = bidir(edges).groupBy(F.col("u").alias("id")).agg(
                 F.min("v").alias("nbr_min")

@@ -332,33 +332,12 @@ FROM orders
 
 
 def q_tasmota_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    payload = F.format_string(
-        '{"Time":"%s","Vcc":%d,"Sleep":%d,"LoadAvg":%d,'
-        '"Wifi":{"Channel":%d,"RSSI":%d,"LinkCount":%d}}',
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
-        F.col("user_id") % 40, F.col("event_id") % 100, F.col("user_id") % 20,
-        F.col("user_id") % 11 + 1, -(F.col("user_id") % 60 + 30),
-        F.col("event_id") % 5,
-    )
-    env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_telemetry(env, "tasmota_state", "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        F.translate(r["Time"], '"', "").alias("time_s"),
-        r["Device.Vcc"].cast("long").alias("vcc"),
-        r["Device.Sleep"].cast("long").alias("sleep"),
-        r["Device.LoadAvg"].cast("long").alias("loadavg"),
-        r["Device.Wifi.Channel"].cast("long").alias("wifi_channel"),
-        r["Device.Wifi.RSSI"].cast("long").alias("wifi_rssi"),
-        r["Device.Wifi.LinkCount"].cast("long").alias("wifi_links"),
-    )
-
-
-def q_tasmota_state_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D11 as one typed from_json (decode_tasmota_state_jvm) — same
-    envelopes, same pivot, same oracle, no Python workers."""
+    """D11 through BOTH implementations in ONE query: the Arrow-kernel
+    flatten (``decode_telemetry``) and the typed-``from_json`` JVM twin
+    (``decode_tasmota_state_jvm``), each row tagged with ``path`` — the
+    oracle states the expected rows once per path, so a divergence in
+    EITHER implementation hash-mismatches.  (Collapsed from two registry
+    entries so every entry fits the driver's per-round sweep.)"""
     from commons_codec_spark.functions.telemetry import decode_tasmota_state_jvm
 
     ev = _t(spark, sf_dir, "events")
@@ -371,22 +350,29 @@ def q_tasmota_state_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % 5,
     )
     env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_tasmota_state_jvm(env, "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        F.translate(r["Time"], '"', "").alias("time_s"),
-        r["Device.Vcc"].cast("long").alias("vcc"),
-        r["Device.Sleep"].cast("long").alias("sleep"),
-        r["Device.LoadAvg"].cast("long").alias("loadavg"),
-        r["Device.Wifi.Channel"].cast("long").alias("wifi_channel"),
-        r["Device.Wifi.RSSI"].cast("long").alias("wifi_rssi"),
-        r["Device.Wifi.LinkCount"].cast("long").alias("wifi_links"),
+
+    def pivot(decoded, tag):
+        r = F.col("reading")
+        return decoded.select(
+            F.lit(tag).alias("path"),
+            "event_id",
+            F.translate(r["Time"], '"', "").alias("time_s"),
+            r["Device.Vcc"].cast("long").alias("vcc"),
+            r["Device.Sleep"].cast("long").alias("sleep"),
+            r["Device.LoadAvg"].cast("long").alias("loadavg"),
+            r["Device.Wifi.Channel"].cast("long").alias("wifi_channel"),
+            r["Device.Wifi.RSSI"].cast("long").alias("wifi_rssi"),
+            r["Device.Wifi.LinkCount"].cast("long").alias("wifi_links"),
+        )
+
+    return pivot(decode_telemetry(env, "tasmota_state", "payload"), "arrow").unionAll(
+        pivot(decode_tasmota_state_jvm(env, "payload"), "jvm")
     )
 
 
-SQL_TASMOTA_STATE = """
-SELECT event_id,
+_SQL_TASMOTA_STATE_ONE = """
+SELECT '{path}' AS path,
+       event_id,
        strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
        CAST(user_id % 40 AS BIGINT) AS vcc,
        CAST(event_id % 100 AS BIGINT) AS sleep,
@@ -396,6 +382,12 @@ SELECT event_id,
        CAST(event_id % 5 AS BIGINT) AS wifi_links
 FROM events
 """
+
+SQL_TASMOTA_STATE = (
+    _SQL_TASMOTA_STATE_ONE.format(path="arrow")
+    + " UNION ALL "
+    + _SQL_TASMOTA_STATE_ONE.format(path="jvm")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +402,9 @@ FROM events
 # returns the union of all three final states tagged by table.
 
 
-def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fanout_workload(spark: SparkSession, sf_dir: str, work: str):
+    """The EP1 workload shared by the batch and streaming fan-out queries:
+    one interleaved three-table envelope batch + the registered targets."""
     from commons_codec_spark.streaming.fanout import (
         MultiTablePipeline,
         TableTarget,
@@ -468,8 +462,6 @@ def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = c_ins.unionAll(c_upd).unionAll(s_ins).unionAll(s_del).unionAll(dms_rows)
 
-    work = tempfile.mkdtemp(prefix="ccs-fanq-")
-
     def mk(name, key, img):
         return TableTarget(
             KeyedLakeTable.create(
@@ -487,9 +479,10 @@ def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dmsval", "vid", {"vid": "N", "detail": "S"}
         ),
     }
-    pipe = MultiTablePipeline(spark, targets)
-    pipe.apply_batch(batch, batch_id=1)
+    return batch, targets
 
+
+def _fanout_state(targets) -> DataFrame:
     c_state = targets[("public", "customers")].table.read().select(
         F.lit("customers").alias("tbl"), F.col("cid").cast("long").alias("k"),
         F.col("name"), F.col("acct_cents").cast("long").alias("num"),
@@ -502,7 +495,66 @@ def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dms").alias("tbl"), F.col("vid").cast("long").alias("k"),
         F.col("detail").alias("name"), F.lit(None).cast("long").alias("num"),
     )
-    return _materialized(c_state.unionAll(s_state).unionAll(d_state), work)
+    return c_state.unionAll(s_state).unionAll(d_state)
+
+
+def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from commons_codec_spark.streaming.fanout import MultiTablePipeline
+
+    work = tempfile.mkdtemp(prefix="ccs-fanq-")
+    batch, targets = _fanout_workload(spark, sf_dir, work)
+    pipe = MultiTablePipeline(spark, targets)
+    pipe.apply_batch(batch, batch_id=1)
+    return _materialized(_fanout_state(targets), work)
+
+
+def q_fanout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 through the REAL streaming path: the same three-table
+    interleaved workload is written as parquet files and consumed by
+    ``MultiTablePipeline.run_stream`` (one readStream fanning out inside
+    ``foreachBatch``, offsets checkpointed, per-sink idempotent merges).
+    ``maxFilesPerTrigger=2`` over 4 source files forces multiple
+    micro-batches, and the query asserts ``lastProgress`` is non-null —
+    proof the result flowed through Structured Streaming.  Same oracle as
+    ``cdc_multi_table_routing``: the transport must not change the answer.
+    """
+    from commons_codec_spark.streaming.fanout import MultiTablePipeline
+
+    import glob
+    import os
+    import time
+
+    work = tempfile.mkdtemp(prefix="ccs-fansq-")
+    batch, targets = _fanout_workload(spark, sf_dir, work)
+    # COMMIT-ORDER transport: a real CDC stream delivers batches in commit
+    # order, and the reference's update-on-absent is a no-op (SQL UPDATE of
+    # a missing row — ``dynamodb.py:198-205``), so an update micro-batch
+    # arriving before its key's insert micro-batch would legitimately lose
+    # the update.  Range-split by seq and stamp ascending mtimes so the
+    # file source (which orders by modification time) replays the ranges
+    # in seq order — unlike the single-table streaming query, there is no
+    # full load here to pre-create every key.
+    src = f"{work}/stream-src"
+    batch.repartitionByRange(4, F.col("commit_seq")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(glob.glob(f"{src}/part-*"))
+    base = time.time() - len(parts) - 1
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    pipe = MultiTablePipeline(spark, targets, checkpoint_dir=f"{work}/ckpt")
+    query = pipe.run_stream(
+        f"{work}/stream-src",
+        schema=("op string, commit_seq long, schema_name string,"
+                " table_name string, keys_json string, image string"),
+        max_files_per_trigger=2,
+    )
+    query.awaitTermination()
+    if query.lastProgress is None:  # pragma: no cover — contract guard
+        raise RuntimeError("stream made no progress — result did not flow "
+                           "through the streaming path")
+    return _materialized(_fanout_state(targets), work)
 
 
 SQL_MULTI_TABLE_ROUTING = """
@@ -529,8 +581,10 @@ ENGINE_QUERIES = {
     "cdc_streaming_replay": (q_streaming_replay, SQL_FULL_LOAD_THEN_CDC),
     "cdc_control_drop_reset": (q_control_drop_reset, SQL_CONTROL_DROP_RESET),
     "cdc_multi_table_routing": (q_multi_table_routing, SQL_MULTI_TABLE_ROUTING),
+    "cdc_fanout_streaming": (q_fanout_streaming, SQL_MULTI_TABLE_ROUTING),
     "mongo_full_load": (q_mongo_full_load, SQL_MONGO_FULL_LOAD),
     "dynamodb_source_guard": (q_source_guard, SQL_SOURCE_GUARD),
+    # both decode paths (Arrow kernel + JVM from_json twin) verified inside
+    # the ONE entry — see q_tasmota_state
     "telemetry_tasmota_state": (q_tasmota_state, SQL_TASMOTA_STATE),
-    "telemetry_tasmota_state_jvm": (q_tasmota_state_jvm, SQL_TASMOTA_STATE),
 }

@@ -255,32 +255,14 @@ FROM events
 
 
 def q_tasmota_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tasmota sensor flatten: dotted-path keys, Type/Address stripping from
-    typed subtrees (D10)."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    payload = F.format_string(
-        '{"Time":"%s","ANALOG":{"Temperature1":%d},'
-        '"SML":{"m0":{"Type":"counter","Address":"0x1","Total_in":%d}},'
-        '"TempUnit":"C"}',
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
-        F.col("user_id") % 40, cents,
-    )
-    env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_telemetry(env, "tasmota_sensor", "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        F.translate(r["Time"], '"', "").alias("time_s"),
-        r["ANALOG.Temperature1"].cast("long").alias("analog_temp"),
-        r["SML.m0.Total_in"].cast("long").alias("sml_total"),
-    )
-
-
-def q_tasmota_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D10 as nested from_json column expressions
-    (decode_tasmota_sensor_jvm) — same envelopes incl. the typed
-    DS subtree, same pivot, same oracle, no Python workers."""
+    """Tasmota sensor flatten (D10) through BOTH implementations in ONE
+    query: the Arrow-kernel recursive flatten (``decode_telemetry``) and
+    its bounded-recursion nested-``from_json`` JVM twin
+    (``decode_tasmota_sensor_jvm``), each row tagged with ``path`` —
+    the oracle states the expected rows once per path, so a divergence
+    in EITHER implementation hash-mismatches.  (Collapsed from two
+    registry entries so every entry fits the driver's per-round sweep.)
+    """
     from commons_codec_spark.functions.telemetry import decode_tasmota_sensor_jvm
 
     ev = _t(spark, sf_dir, "events")
@@ -293,23 +275,36 @@ def q_tasmota_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 40, cents,
     )
     env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_tasmota_sensor_jvm(env, "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        F.translate(r["Time"], '"', "").alias("time_s"),
-        r["ANALOG.Temperature1"].cast("long").alias("analog_temp"),
-        r["SML.m0.Total_in"].cast("long").alias("sml_total"),
+
+    def pivot(decoded, tag):
+        r = F.col("reading")
+        return decoded.select(
+            F.lit(tag).alias("path"),
+            "event_id",
+            F.translate(r["Time"], '"', "").alias("time_s"),
+            r["ANALOG.Temperature1"].cast("long").alias("analog_temp"),
+            r["SML.m0.Total_in"].cast("long").alias("sml_total"),
+        )
+
+    return pivot(decode_telemetry(env, "tasmota_sensor", "payload"), "arrow").unionAll(
+        pivot(decode_tasmota_sensor_jvm(env, "payload"), "jvm")
     )
 
 
-SQL_TASMOTA = """
-SELECT event_id,
+_SQL_TASMOTA_ONE = """
+SELECT '{path}' AS path,
+       event_id,
        strftime(ts, '%Y-%m-%dT%H:%M:%S') AS time_s,
        CAST(user_id % 40 AS BIGINT) AS analog_temp,
        CAST(round(value * 100) AS BIGINT) AS sml_total
 FROM events
 """
+
+SQL_TASMOTA = (
+    _SQL_TASMOTA_ONE.format(path="arrow")
+    + " UNION ALL "
+    + _SQL_TASMOTA_ONE.format(path="jvm")
+)
 
 
 def q_sensor_community_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,8 +831,9 @@ EXTRA_QUERIES = {
     "mongo_cdc_decode_jvm": (q_mongo_cdc_decode_jvm, SQL_MONGO_CDC),
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
     "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
+    # both decode paths (Arrow kernel + JVM from_json twin) verified inside
+    # the ONE entry — see q_tasmota_decode
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
-    "telemetry_tasmota_jvm": (q_tasmota_decode_jvm, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
     "telemetry_sensor_community_jvm": (q_sensor_community_decode_jvm, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
