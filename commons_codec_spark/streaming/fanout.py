@@ -88,7 +88,12 @@ class MultiTablePipeline:
         #: per-batch merge concurrency: the per-table merge jobs touch
         #: disjoint sinks, so they are submitted from a thread pool (each
         #: thread tagging its jobs with a per-table scheduler pool).  1 =
-        #: the old sequential submission.
+        #: the old sequential submission.  The pool tags take full effect
+        #: when the session runs with ``spark.scheduler.mode=FAIR`` (set it
+        #: via ``get_spark(extra_conf=...)`` — it is fixed at context
+        #: start); under default FIFO the concurrent jobs still overlap
+        #: whenever the head job leaves cores idle, which is where the
+        #: measured win comes from on local[N].
         self.max_parallel_tables = max(int(max_parallel_tables), 1)
         self.registry = (
             registry
