@@ -316,34 +316,38 @@ def main() -> None:
                 s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3
             )
 
-        hot_salted_wall, hot_plain_wall = min(salted_walls), min(plain_walls)
-        uniform_wall = min(uniform_walls)
-        result["hot_key"] = {
-            "hot_frac": 0.3,
-            "salted_wall_sec": hot_salted_wall,
-            "salted_events_per_sec": round(N_EVENTS / hot_salted_wall, 1),
-            "salt_chunks_engaged": engaged,
-            "unsalted_wall_sec": hot_plain_wall,
-            "uniform_wall_sec": uniform_wall,
-            "wall_samples_sec": {
-                "salted": salted_walls,
-                "unsalted": plain_walls,
-                "uniform": uniform_walls,
-            },
-            # min-of-N per variant (interleaved) is the steady-state figure;
-            # the median is reported alongside so one lucky/unlucky sample
-            # can't carry the ratio on this ±40%-noise shared VM
-            "ratio_vs_uniform": round(hot_salted_wall / uniform_wall, 3),
-            "median_ratio_vs_uniform": round(
-                med(salted_walls) / med(uniform_walls), 3
-            ),
-            "salted_speedup_vs_unsalted": round(
-                hot_plain_wall / hot_salted_wall, 3
-            ),
-            "median_salted_speedup_vs_unsalted": round(
-                med(plain_walls) / med(salted_walls), 3
-            ),
-        }
+        # SPARK_GRAFT_HOT_ROUNDS=0 behaves like SPARK_GRAFT_HOT=0 (skip the
+        # phase) instead of crashing on min()/med() of empty sample lists
+        if salted_walls:
+            hot_salted_wall, hot_plain_wall = min(salted_walls), min(plain_walls)
+            uniform_wall = min(uniform_walls)
+            result["hot_key"] = {
+                "hot_frac": 0.3,
+                "salted_wall_sec": hot_salted_wall,
+                "salted_events_per_sec": round(N_EVENTS / hot_salted_wall, 1),
+                "salt_chunks_engaged": engaged,
+                "unsalted_wall_sec": hot_plain_wall,
+                "uniform_wall_sec": uniform_wall,
+                "wall_samples_sec": {
+                    "salted": salted_walls,
+                    "unsalted": plain_walls,
+                    "uniform": uniform_walls,
+                },
+                # min-of-N per variant (interleaved) is the steady-state
+                # figure; the median is reported alongside so one
+                # lucky/unlucky sample can't carry the ratio on this
+                # ±40%-noise shared VM
+                "ratio_vs_uniform": round(hot_salted_wall / uniform_wall, 3),
+                "median_ratio_vs_uniform": round(
+                    med(salted_walls) / med(uniform_walls), 3
+                ),
+                "salted_speedup_vs_unsalted": round(
+                    hot_plain_wall / hot_salted_wall, 3
+                ),
+                "median_salted_speedup_vs_unsalted": round(
+                    med(plain_walls) / med(salted_walls), 3
+                ),
+            }
 
     # --- multi-table fan-out: N disjoint sinks from one routed batch,
     # sequential merge submission vs concurrent (scheduler-pool threads).

@@ -433,8 +433,14 @@ class KeyedLakeTable:
         )
         self._write_commit(version, batch_id, buckets, applied, payload_schema)
         if staged_changes is not None and os.path.isdir(staged_changes):
-            # publish the CDF version only now that its commit exists
-            os.replace(staged_changes, self._changes_dir(version))
+            # publish the CDF version only now that its commit exists.  A
+            # concurrent reader's heal-on-read can win the rename between
+            # our isdir check and the replace — that outcome IS the publish,
+            # so losing the race is success, not an error.
+            try:
+                os.replace(staged_changes, self._changes_dir(version))
+            except FileNotFoundError:
+                pass
         if materialized:
             net.unpersist()
         return {
@@ -474,7 +480,14 @@ class KeyedLakeTable:
             v = int(d.split("-v", 1)[1])
             final = self._changes_dir(v)
             if v <= head and not os.path.isdir(final):
-                os.replace(os.path.join(changes_root, d), final)
+                # heal now runs from READERS too (read_changes /
+                # stream_changes), so several actors can race the same
+                # rename; whoever loses finds the source gone — the dir is
+                # published either way, so swallow the loss
+                try:
+                    os.replace(os.path.join(changes_root, d), final)
+                except FileNotFoundError:
+                    pass
 
     def read_changes(
         self, since_version: int = 1, to_version: int | None = None

@@ -100,6 +100,7 @@ class MultiTablePipeline:
             or (checkpoint_dir and SchemaRegistry.load(checkpoint_dir))
             or SchemaRegistry()
         )
+        self._pool: ThreadPoolExecutor | None = None
         self.pipelines: dict[tuple[str, str], CDCPipeline] = {}
         for (schema, table), target in targets.items():
             # copy, don't mutate: a caller sharing one PipelineConfig across
@@ -167,7 +168,14 @@ class MultiTablePipeline:
                     # merge applied) re-writes the same slice instead of
                     # appending duplicates — the DLQ inherits the same
                     # exactly-once story as the sinks
-                    miss.write.mode("overwrite").parquet(
+                    out = miss
+                    if "batch_id" in out.columns:
+                        # the dir name IS the partition column batch_id; a
+                        # data column of the same name (direct apply_batch
+                        # callers often keep it) would make every later
+                        # read of the DLQ throw a duplicate-column error
+                        out = out.withColumnRenamed("batch_id", "src_batch_id")
+                    out.write.mode("overwrite").parquet(
                         os.path.join(self.unknown_table_dlq, f"batch_id={batch_id}")
                     )
                 unknown_rows = miss.count()
@@ -199,10 +207,30 @@ class MultiTablePipeline:
                     )
 
             if self.max_parallel_tables > 1 and len(ordered) > 1:
-                with ThreadPoolExecutor(
-                    max_workers=min(self.max_parallel_tables, len(ordered))
-                ) as pool:
-                    results = list(pool.map(_one, ordered))
+                if self._pool is None:
+                    # one executor per pipeline, reused across micro-batches:
+                    # under pinned-thread mode every NEW Python thread opens
+                    # its own JVM companion thread/connection, so spawning a
+                    # fresh pool per batch would churn driver threads for the
+                    # lifetime of a stream
+                    self._pool = ThreadPoolExecutor(
+                        max_workers=self.max_parallel_tables,
+                        thread_name_prefix="fanout-merge",
+                    )
+                # wait for EVERY future before propagating a failure: the
+                # batch is unpersisted in the finally below, and surviving
+                # merges must not race that (or the caller's post-crash
+                # assertions) in background threads
+                futures = [self._pool.submit(_one, r) for r in ordered]
+                results, first_exc = [], None
+                for f in futures:
+                    try:
+                        results.append(f.result())
+                    except Exception as exc:  # noqa: BLE001 — re-raised below
+                        first_exc = first_exc or exc
+                        results.append(None)
+                if first_exc is not None:
+                    raise first_exc
             else:
                 results = [_one(r) for r in ordered]
             for (s, t), m in zip(ordered, results):

@@ -282,6 +282,21 @@ def test_fanout_dlq_write_is_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(dlq).count() == 1
 
 
+def test_fanout_dlq_readable_when_batch_carries_batch_id_column(spark, tmp_path):
+    """A direct apply_batch caller often keeps the envelope's batch_id
+    column; the DLQ layout partitions by batch_id, so an identically-named
+    data column must be renamed or every later DLQ read throws a
+    duplicate-column AnalysisException."""
+    events = _mk_events(spark)  # carries a batch_id data column
+    targets = _targets(spark, tmp_path)
+    dlq = str(tmp_path / "dlq")
+    pipe = MultiTablePipeline(spark, targets, unknown_table_dlq=dlq)
+    pipe.apply_batch(events, batch_id=7)
+    got = spark.read.parquet(dlq)
+    assert got.count() == 1
+    assert "src_batch_id" in got.columns and "batch_id" in got.columns
+
+
 def test_shared_config_instance_not_aliased(spark, tmp_path):
     """One PipelineConfig instance shared across targets must not collapse
     every pipeline onto the last-registered schema:table identity."""
