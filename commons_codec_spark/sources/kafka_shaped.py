@@ -1,0 +1,197 @@
+"""Kafka-shaped CDC source: the broker-wire dialect, runnable without a broker.
+
+The reference consumes change events from AWS-managed transports; a
+production deployment of THIS engine would most commonly tail a Kafka
+topic (`spark.readStream.format("kafka")` + the kafka connector jar).
+That jar is absent in this sandbox, so the transport seam is proven with
+a **Spark 4 Python Data Source** (`pyspark.sql.datasource`) that emits
+rows in the exact Kafka wire shape — ``key``/``value`` binary, ``topic``,
+``partition``, ``offset``, ``timestamp`` — from a deterministic synthetic
+CDC stream, with REAL streaming offset semantics: the engine checkpoints
+this reader's offsets exactly as it would Kafka's, so resume/exactly-once
+flow through the same machinery (`CDCPipeline.run_stream` →
+`foreachBatch` → idempotent merge).
+
+Swapping to a real broker is a config change, not a code change::
+
+    pipe.run_stream(None, source_format="kafka",
+                    source_options={"kafka.bootstrap.servers": ...,
+                                    "subscribe": "cdc.events"},
+                    decoder=...same make_kafka_cdc_decoder(...))
+
+Simplifications vs a real topic (documented, not hidden): the sim models
+a single-partition topic — ``offset`` is a global order, and the
+``partition`` column is a display shard.  A multi-partition topic's
+per-partition ordering + cross-partition seq-based LWW is exactly what
+the engine's two-branch fold + ordering-guarded merge already handle
+(out-of-order tests in ``tests/test_e2e_replay.py``).
+
+100-TB note: the generator itself is a test/bench tool; the decoder
+(`make_kafka_cdc_decoder`) is the production piece — one ``from_json``
+over ``value`` then the compiled JVM image decode, no Python workers.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from hashlib import md5
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: The Kafka source's fixed output schema (connector-compatible subset).
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp"
+)
+
+_ENVELOPE_DDL = "op string, commit_seq long, keys_json string, image string"
+
+_EPOCH_BASE = 1_700_000_000  # fixed so the stream is bit-deterministic
+
+
+def _wire_event(i: int, n_keys: int, seed: int) -> tuple:
+    """Deterministic event ``i`` of the simulated single-partition topic.
+
+    Op mix mirrors the engine's synthetic event log: mostly inserts with
+    interleaved updates and deletes of earlier keys, so the final state
+    exercises every fold branch.
+    """
+    h = int(md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+    k = h % n_keys
+    if i % 7 == 3:
+        op, image = "delete", None
+    else:
+        op = "update" if i % 3 == 1 else "insert"
+        image = json.dumps(
+            {
+                "uid": {"N": str(k)},
+                "name": {"S": f"u{k}-{i}"},
+                "val": {"N": str(h % 100_000)},
+            },
+            separators=(",", ":"),
+        )
+    keys_json = json.dumps({"uid": {"N": str(k)}}, separators=(",", ":"))
+    value = json.dumps(
+        {"op": op, "commit_seq": i, "keys_json": keys_json, "image": image},
+        separators=(",", ":"),
+    )
+    return (
+        keys_json.encode(),
+        value.encode(),
+        "cdc.events",
+        k % 4,
+        i,
+        datetime.fromtimestamp(_EPOCH_BASE + i, tz=timezone.utc),
+    )
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int, n_keys: int, seed: int):
+        self.start, self.end = start, end
+        self.n_keys, self.seed = n_keys, seed
+
+
+class _SimStreamReader(DataSourceStreamReader):
+    """Offset-tracked reader: ``latestOffset`` advances ``rows_per_batch``
+    events per trigger until ``n_events`` — each micro-batch is a
+    contiguous offset range, split into ``parts`` Spark partitions."""
+
+    def __init__(self, options):
+        self.n_events = int(options.get("n_events", "2000"))
+        self.rows_per_batch = int(options.get("rows_per_batch", "500"))
+        self.n_keys = int(options.get("n_keys", "200"))
+        self.seed = int(options.get("seed", "42"))
+        self.parts = int(options.get("parts", "4"))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.n_events)
+        return {"offset": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["offset"]), int(end["offset"])
+        if hi <= lo:
+            return [_Range(lo, lo, self.n_keys, self.seed)]
+        step = max((hi - lo + self.parts - 1) // self.parts, 1)
+        return [
+            _Range(s, min(s + step, hi), self.n_keys, self.seed)
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _wire_event(i, partition.n_keys, partition.seed)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint
+
+
+class CdcKafkaSimDataSource(DataSource):
+    """``spark.readStream.format("cdc_kafka_sim")`` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_kafka_sim"
+
+    def schema(self) -> str:
+        return KAFKA_WIRE_SCHEMA
+
+    def streamReader(self, schema) -> _SimStreamReader:
+        return _SimStreamReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the sim source with this session."""
+    try:
+        spark.dataSource.register(CdcKafkaSimDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+
+
+def simulated_wire_df(spark: SparkSession, options: dict) -> DataFrame:
+    """The SAME rows the streaming source emits, as one batch DataFrame —
+    the parity side of the stream-equals-batch test.  Test-scale only
+    (driver-side generation)."""
+    n = int(options.get("n_events", "2000"))
+    n_keys = int(options.get("n_keys", "200"))
+    seed = int(options.get("seed", "42"))
+    return spark.createDataFrame(
+        [_wire_event(i, n_keys, seed) for i in range(n)], KAFKA_WIRE_SCHEMA
+    )
+
+
+#: image schema of the simulated stream (PipelineConfig.image_columns)
+SIM_IMAGE_COLUMNS = {"uid": "N", "name": "S", "val": "N"}
+
+
+def make_kafka_cdc_decoder(image_columns: dict[str, str]):
+    """Dialect decoder for Kafka-wire envelopes (``PipelineConfig.decoder``).
+
+    One ``from_json`` unwraps ``value`` into the envelope columns, then the
+    compiled JVM image decode produces the typed payload — the same
+    Python-worker-free decode chain as the file path, applied to the wire
+    shape a real `format("kafka")` reader delivers unchanged.
+    """
+    from commons_codec_spark.functions.dynamodb import compile_direct_decoder
+
+    def decode(batch: DataFrame) -> DataFrame:
+        env = batch.select(
+            F.from_json(F.col("value").cast("string"), _ENVELOPE_DDL).alias("e")
+        ).select("e.*")
+        # deletes carry no image: decode the keys from keys_json so the
+        # fold sees typed key columns (same coalesce as the default path)
+        env = env.withColumn("image", F.coalesce("image", "keys_json"))
+        return compile_direct_decoder(env, "image", image_columns)
+
+    return decode

@@ -269,34 +269,39 @@ class MultiTablePipeline:
 
     def run_stream(
         self,
-        source_dir: str,
+        source_dir: str | None,
         source_format: str = "parquet",
         schema: str | None = None,
         checkpoint_dir: str | None = None,
         max_files_per_trigger: int = 4,
+        source_options: dict | None = None,
+        available_now: bool = True,
     ):
         """Structured-Streaming form: one ``readStream`` fans out inside
         ``foreachBatch``; offsets in the checkpoint + per-sink idempotent
-        merges = exactly-once across ALL targets."""
+        merges = exactly-once across ALL targets.  ``source_dir=None`` +
+        ``source_options`` target path-less sources (Kafka, registered
+        Python data sources) exactly as in :meth:`CDCPipeline.run_stream`.
+        """
         checkpoint = checkpoint_dir or self.checkpoint_dir
         if checkpoint is None:
             raise ValueError(
                 "run_stream requires a checkpoint_dir (pass it here or on "
                 "the pipeline) — streaming offsets have nowhere to live"
             )
-        reader = self.spark.readStream.format(source_format).option(
-            "maxFilesPerTrigger", max_files_per_trigger
-        )
+        reader = self.spark.readStream.format(source_format)
+        if source_dir is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        for k, v in (source_options or {}).items():
+            reader = reader.option(k, v)
         if schema:
             reader = reader.schema(schema)
-        stream = reader.load(source_dir)
-        return (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(
-                    df.drop("batch_id") if "batch_id" in df.columns else df, bid
-                )
+        stream = reader.load(source_dir) if source_dir is not None else reader.load()
+        writer = stream.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(
+                df.drop("batch_id") if "batch_id" in df.columns else df, bid
             )
-            .option("checkpointLocation", os.path.join(checkpoint, "offsets"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        ).option("checkpointLocation", os.path.join(checkpoint, "offsets"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -558,17 +558,26 @@ class CDCPipeline:
 
     def run_stream(
         self,
-        source_dir: str,
+        source_dir: str | None,
         source_format: str = "parquet",
         schema: str | None = None,
         checkpoint_dir: str | None = None,
         max_files_per_trigger: int = 4,
+        source_options: dict | None = None,
+        available_now: bool = True,
     ):
-        """Tail a directory of envelope files with Structured Streaming.
+        """Tail an envelope stream with Structured Streaming.
 
         Each micro-batch flows through :meth:`apply_batch` inside
         ``foreachBatch``; offsets live in the checkpoint, merge idempotence
         in the lake commit log — together: exactly-once.
+
+        ``source_dir=None`` targets path-less sources (``format("kafka")``
+        with ``source_options={"kafka.bootstrap.servers": ..., "subscribe":
+        ...}``, or a registered Python data source such as
+        :mod:`~..sources.kafka_shaped`); ``available_now=False`` runs a
+        continuous trigger — pair it with ``query.processAllAvailable()``
+        + ``stop()`` for deterministic drains of unbounded sources.
         """
         checkpoint = checkpoint_dir or self.checkpoint_dir
         if checkpoint is None:
@@ -576,19 +585,19 @@ class CDCPipeline:
                 "run_stream requires a checkpoint_dir (pass it here or on "
                 "the pipeline) — streaming offsets have nowhere to live"
             )
-        reader = (
-            self.spark.readStream.format(source_format)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-        )
+        reader = self.spark.readStream.format(source_format)
+        if source_dir is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        for k, v in (source_options or {}).items():
+            reader = reader.option(k, v)
         if schema:
             reader = reader.schema(schema)
-        stream = reader.load(source_dir)
-        query = (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df.drop("batch_id"), bid)
+        stream = reader.load(source_dir) if source_dir is not None else reader.load()
+        writer = stream.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(
+                df.drop("batch_id") if "batch_id" in df.columns else df, bid
             )
-            .option("checkpointLocation", os.path.join(checkpoint, "offsets"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        return query
+        ).option("checkpointLocation", os.path.join(checkpoint, "offsets"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

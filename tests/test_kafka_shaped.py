@@ -1,0 +1,122 @@
+"""Kafka-wire transport seam: the engine ingests a broker-shaped stream
+(key/value/topic/partition/offset/timestamp) through the REAL
+readStream → foreachBatch path via a Spark 4 Python Data Source, with the
+engine checkpointing the reader's offsets exactly as it would Kafka's.
+Pins that swapping the file source for a wire source is configuration,
+not engine surgery (SURVEY.md §2 S1; the kafka connector jar itself is
+absent in this sandbox)."""
+
+from __future__ import annotations
+
+from commons_codec_spark.lake.table import KeyedLakeTable
+from commons_codec_spark.sources.kafka_shaped import (
+    SIM_IMAGE_COLUMNS,
+    make_kafka_cdc_decoder,
+    register,
+    simulated_wire_df,
+)
+from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+
+def _cfg():
+    return PipelineConfig(
+        keys=["uid"],
+        image_columns=SIM_IMAGE_COLUMNS,
+        discover_columns=False,
+        decoder=make_kafka_cdc_decoder(SIM_IMAGE_COLUMNS),
+    )
+
+
+def _table(spark, path):
+    return KeyedLakeTable.create(
+        spark, str(path), key_schema={"uid": "double"}, n_buckets=2
+    )
+
+
+def test_kafka_shaped_stream_matches_batch(spark, tmp_path):
+    """Multiple offset-ranged micro-batches off the wire source land the
+    same final state as one batch apply of the identical events (offsets
+    ascend in commit order, as a single-partition topic delivers)."""
+    register(spark)
+    opts = {"n_events": "2400", "rows_per_batch": "700",
+            "n_keys": "150", "seed": "11"}
+
+    stream_table = _table(spark, tmp_path / "stream")
+    pipe = CDCPipeline(
+        spark, stream_table, _cfg(), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = pipe.run_stream(
+        None, source_format="cdc_kafka_sim", source_options=opts,
+        available_now=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert q.lastProgress is not None
+    applied = [m for m in pipe.metrics if not m.get("skipped")]
+    assert len(applied) >= 3  # the 2400 events arrived as offset ranges
+
+    batch_table = _table(spark, tmp_path / "batch")
+    CDCPipeline(spark, batch_table, _cfg()).apply_batch(
+        simulated_wire_df(spark, opts), batch_id=0
+    )
+    a = sorted(map(tuple, stream_table.read().collect()))
+    b = sorted(map(tuple, batch_table.read().collect()))
+    assert a == b and a
+
+
+def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
+    """Kill the stream mid-topic, restart with the same checkpoint: the
+    engine resumes from the committed wire offset and the final state has
+    no duplicates or gaps (exactly-once across the restart).
+
+    A restarted reader instance starts its incremental ``latestOffset``
+    below the checkpoint's committed offset, so ``processAllAvailable``
+    can observe a no-new-data window during catch-up — the drain
+    therefore polls for convergence against the batch-applied expected
+    state instead.
+    """
+    import time
+
+    register(spark)
+    opts = {"n_events": "2000", "rows_per_batch": "400",
+            "n_keys": "120", "seed": "23"}
+
+    batch_table = _table(spark, tmp_path / "batch")
+    CDCPipeline(spark, batch_table, _cfg()).apply_batch(
+        simulated_wire_df(spark, opts), batch_id=0
+    )
+    expected = sorted(map(tuple, batch_table.read().collect()))
+    assert expected
+
+    table = _table(spark, tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+
+    pipe1 = CDCPipeline(spark, table, _cfg(), checkpoint_dir=ck)
+    q1 = pipe1.run_stream(
+        None, source_format="cdc_kafka_sim", source_options=opts,
+        available_now=False,
+    )
+    # let at least one micro-batch commit, then kill mid-stream
+    deadline = time.time() + 120
+    while not any(not m.get("skipped") for m in pipe1.metrics):
+        assert time.time() < deadline, "no micro-batch committed before kill"
+        q1.awaitTermination(1)
+    q1.stop()
+    assert sorted(map(tuple, table.read().collect())) != expected, (
+        "stream finished before the kill — shrink rows_per_batch"
+    )
+
+    # fresh reader instance, same checkpoint: offsets resume, merges skip
+    # anything already applied
+    pipe2 = CDCPipeline(spark, table, _cfg(), checkpoint_dir=ck)
+    q2 = pipe2.run_stream(
+        None, source_format="cdc_kafka_sim", source_options=opts,
+        available_now=False,
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if sorted(map(tuple, table.read().collect())) == expected:
+            break
+        time.sleep(2)
+    q2.stop()
+    assert sorted(map(tuple, table.read().collect())) == expected
