@@ -84,6 +84,37 @@ def test_scan_pushdown_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in pplan and "batch_id" in pplan.split("PartitionFilters")[1][:120]
 
 
+def test_dedup_and_ann_plans_have_no_cartesian(spark):
+    """The banded/blocked similarity paths must never degrade to an
+    all-pairs product: no CartesianProduct / BroadcastNestedLoopJoin in
+    minhash-LSH, simhash blocking, or LSH top-k — the property that keeps
+    them alive at 10^9 documents."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "similarity_lsh_topk"):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_kafka_wire_decode_stays_jvm_side(spark):
+    """The Kafka value→envelope→typed-columns decode chain is one
+    from_json + the compiled image decode — no Python workers."""
+    from commons_codec_spark.sources.kafka_shaped import (
+        SIM_IMAGE_COLUMNS,
+        make_kafka_cdc_decoder,
+        simulated_wire_df,
+    )
+
+    wire = simulated_wire_df(
+        spark, {"n_events": "300", "n_keys": "40", "seed": "3"}
+    )
+    decoded = make_kafka_cdc_decoder(SIM_IMAGE_COLUMNS)(wire)
+    plan = _plan(decoded)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_new_jvm_contract_queries_are_python_free(spark):
     """The compiled decode variants must never regress to a Python round
     trip: universal_decode_inferred, telemetry_tts_ttn_jvm,
