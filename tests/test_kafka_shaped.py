@@ -78,7 +78,9 @@ def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
     import time
 
     register(spark)
-    opts = {"n_events": "2000", "rows_per_batch": "400",
+    # 8 micro-batches: enough runway that the kill lands mid-topic even
+    # on a fast machine (first-commit detection polls at 0.5 s)
+    opts = {"n_events": "2000", "rows_per_batch": "250",
             "n_keys": "120", "seed": "23"}
 
     batch_table = _table(spark, tmp_path / "batch")
@@ -100,7 +102,7 @@ def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
     deadline = time.time() + 120
     while not any(not m.get("skipped") for m in pipe1.metrics):
         assert time.time() < deadline, "no micro-batch committed before kill"
-        q1.awaitTermination(1)
+        q1.awaitTermination(0.5)
     q1.stop()
     assert sorted(map(tuple, table.read().collect())) != expected, (
         "stream finished before the kill — shrink rows_per_batch"
