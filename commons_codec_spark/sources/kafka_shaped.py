@@ -19,12 +19,17 @@ Swapping to a real broker is a config change, not a code change::
                                     "subscribe": "cdc.events"},
                     decoder=...same make_kafka_cdc_decoder(...))
 
-Simplifications vs a real topic (documented, not hidden): the sim models
-a single-partition topic — ``offset`` is a global order, and the
-``partition`` column is a display shard.  A multi-partition topic's
-per-partition ordering + cross-partition seq-based LWW is exactly what
-the engine's two-branch fold + ordering-guarded merge already handle
-(out-of-order tests in ``tests/test_e2e_replay.py``).
+Two topic models, selected by the ``topic_partitions`` option:
+
+* ``"1"`` (default) — single-partition topic: ``offset`` is a global
+  order, the scalar offset dict matches the classic file-source shape.
+* ``N > 1`` — the REAL Kafka offset model: a COMPOSITE offset dict with
+  one independent offset per topic partition (``{"0": o0, "1": o1, …}``),
+  keys pinned to partitions (Kafka's same-key-same-partition guarantee),
+  ordering only WITHIN a partition.  ``commit_seq`` is assigned so a
+  key's events ascend in its partition's offset order — cross-partition
+  interleaving is arbitrary, which is exactly what the engine's
+  seq-based two-branch fold + ordering-guarded merge absorb.
 
 100-TB note: the generator itself is a test/bench tool; the decoder
 (`make_kafka_cdc_decoder`) is the production piece — one ``from_json``
@@ -66,6 +71,23 @@ def _wire_event(i: int, n_keys: int, seed: int) -> tuple:
     """
     h = int(md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
     k = h % n_keys
+    return _wire_tuple(i=i, seq=i, k=k, h=h, partition=k % 4)
+
+
+def _wire_event_mp(p: int, j: int, tp: int, n_keys: int, seed: int) -> tuple:
+    """Deterministic event at offset ``j`` of topic partition ``p`` (of
+    ``tp``).  Keys are pinned to partitions (``k % tp == p``) and
+    ``commit_seq = j * tp + p`` — globally unique and ascending in each
+    partition's offset order, so a key's events (which all live in one
+    partition) arrive seq-ordered regardless of how the engine interleaves
+    partitions across micro-batches."""
+    h = int(md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8], 16)
+    keys_per_part = max(n_keys // tp, 1)
+    k = p + tp * (h % keys_per_part)
+    return _wire_tuple(i=j, seq=j * tp + p, k=k, h=h, partition=p)
+
+
+def _wire_tuple(i: int, seq: int, k: int, h: int, partition: int) -> tuple:
     if i % 7 == 3:
         op, image = "delete", None
     else:
@@ -73,36 +95,44 @@ def _wire_event(i: int, n_keys: int, seed: int) -> tuple:
         image = json.dumps(
             {
                 "uid": {"N": str(k)},
-                "name": {"S": f"u{k}-{i}"},
+                "name": {"S": f"u{k}-{seq}"},
                 "val": {"N": str(h % 100_000)},
             },
             separators=(",", ":"),
         )
     keys_json = json.dumps({"uid": {"N": str(k)}}, separators=(",", ":"))
     value = json.dumps(
-        {"op": op, "commit_seq": i, "keys_json": keys_json, "image": image},
+        {"op": op, "commit_seq": seq, "keys_json": keys_json, "image": image},
         separators=(",", ":"),
     )
     return (
         keys_json.encode(),
         value.encode(),
         "cdc.events",
-        k % 4,
+        partition,
         i,
-        datetime.fromtimestamp(_EPOCH_BASE + i, tz=timezone.utc),
+        datetime.fromtimestamp(_EPOCH_BASE + seq, tz=timezone.utc),
     )
 
 
 class _Range(InputPartition):
-    def __init__(self, start: int, end: int, n_keys: int, seed: int):
+    def __init__(
+        self, start: int, end: int, n_keys: int, seed: int,
+        tp: int = 1, p: int = 0,
+    ):
         self.start, self.end = start, end
         self.n_keys, self.seed = n_keys, seed
+        self.tp, self.p = tp, p
 
 
 class _SimStreamReader(DataSourceStreamReader):
-    """Offset-tracked reader: ``latestOffset`` advances ``rows_per_batch``
-    events per trigger until ``n_events`` — each micro-batch is a
-    contiguous offset range, split into ``parts`` Spark partitions."""
+    """Offset-tracked reader.  Single-partition mode: ``latestOffset``
+    advances ``rows_per_batch`` events per trigger until ``n_events``,
+    each micro-batch a contiguous offset range split into ``parts`` Spark
+    partitions.  Multi-partition mode (``topic_partitions`` > 1): the
+    offset is a COMPOSITE dict with one entry per topic partition —
+    Kafka's actual checkpoint shape — and each topic partition becomes
+    its own Spark input partition per batch."""
 
     def __init__(self, options):
         self.n_events = int(options.get("n_events", "2000"))
@@ -110,16 +140,32 @@ class _SimStreamReader(DataSourceStreamReader):
         self.n_keys = int(options.get("n_keys", "200"))
         self.seed = int(options.get("seed", "42"))
         self.parts = int(options.get("parts", "4"))
+        self.tp = int(options.get("topic_partitions", "1"))
         self._latest = 0
 
     def initialOffset(self) -> dict:
-        return {"offset": 0}
+        if self.tp == 1:
+            return {"offset": 0}
+        return {str(p): 0 for p in range(self.tp)}
 
     def latestOffset(self) -> dict:
-        self._latest = min(self._latest + self.rows_per_batch, self.n_events)
-        return {"offset": self._latest}
+        if self.tp == 1:
+            self._latest = min(self._latest + self.rows_per_batch, self.n_events)
+            return {"offset": self._latest}
+        per_part_cap = self.n_events // self.tp
+        step = max(self.rows_per_batch // self.tp, 1)
+        self._latest = min(self._latest + step, per_part_cap)
+        return {str(p): self._latest for p in range(self.tp)}
 
     def partitions(self, start: dict, end: dict):
+        if self.tp > 1:
+            out = [
+                _Range(int(start[str(p)]), int(end[str(p)]),
+                       self.n_keys, self.seed, tp=self.tp, p=p)
+                for p in range(self.tp)
+                if int(end[str(p)]) > int(start[str(p)])
+            ]
+            return out or [_Range(0, 0, self.n_keys, self.seed, tp=self.tp)]
         lo, hi = int(start["offset"]), int(end["offset"])
         if hi <= lo:
             return [_Range(lo, lo, self.n_keys, self.seed)]
@@ -130,6 +176,13 @@ class _SimStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
+        if partition.tp > 1:
+            for j in range(partition.start, partition.end):
+                yield _wire_event_mp(
+                    partition.p, j, partition.tp, partition.n_keys,
+                    partition.seed,
+                )
+            return
         for i in range(partition.start, partition.end):
             yield _wire_event(i, partition.n_keys, partition.seed)
 
@@ -166,9 +219,16 @@ def simulated_wire_df(spark: SparkSession, options: dict) -> DataFrame:
     n = int(options.get("n_events", "2000"))
     n_keys = int(options.get("n_keys", "200"))
     seed = int(options.get("seed", "42"))
-    return spark.createDataFrame(
-        [_wire_event(i, n_keys, seed) for i in range(n)], KAFKA_WIRE_SCHEMA
-    )
+    tp = int(options.get("topic_partitions", "1"))
+    if tp > 1:
+        rows = [
+            _wire_event_mp(p, j, tp, n_keys, seed)
+            for p in range(tp)
+            for j in range(n // tp)
+        ]
+    else:
+        rows = [_wire_event(i, n_keys, seed) for i in range(n)]
+    return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
 
 
 #: image schema of the simulated stream (PipelineConfig.image_columns)

@@ -64,6 +64,45 @@ def test_kafka_shaped_stream_matches_batch(spark, tmp_path):
     assert a == b and a
 
 
+def test_kafka_multi_partition_composite_offsets(spark, tmp_path):
+    """topic_partitions=4: the source checkpoints Kafka's REAL offset
+    shape — one independent offset per topic partition — keys pinned to
+    partitions, ordering only within a partition.  The streamed state must
+    equal the batch apply of the same events, and the committed offset
+    must be the composite dict."""
+    import ast
+
+    register(spark)
+    opts = {"n_events": "2400", "rows_per_batch": "800", "n_keys": "160",
+            "seed": "31", "topic_partitions": "4"}
+
+    stream_table = _table(spark, tmp_path / "stream")
+    pipe = CDCPipeline(
+        spark, stream_table, _cfg(), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = pipe.run_stream(
+        None, source_format="cdc_kafka_sim", source_options=opts,
+        available_now=False,
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    assert progress is not None
+    # the python-data-source offset dict surfaces as a dict repr here
+    end = ast.literal_eval(progress["sources"][0]["endOffset"])
+    assert set(end) == {"0", "1", "2", "3"}, end  # composite offset shape
+    applied = [m for m in pipe.metrics if not m.get("skipped")]
+    assert len(applied) >= 2
+
+    batch_table = _table(spark, tmp_path / "batch")
+    CDCPipeline(spark, batch_table, _cfg()).apply_batch(
+        simulated_wire_df(spark, opts), batch_id=0
+    )
+    a = sorted(map(tuple, stream_table.read().collect()))
+    b = sorted(map(tuple, batch_table.read().collect()))
+    assert a == b and a
+
+
 def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
     """Kill the stream mid-topic, restart with the same checkpoint: the
     engine resumes from the committed wire offset and the final state has
