@@ -242,8 +242,9 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     near-dup clusters — copies of copies, diameter 2-4) min-label wins
     because star pays more fixed rounds of two groupBy+join passes each;
     star wins when components chain (diameter ≫ log n).  Measured at
-    sf0.1 (shallow): min-label ~5 s, star ~6.5 s — keep both, pick by
-    graph shape.
+    sf0.1 (shallow): min-label 4.5-6.0 s, star 5.0-6.5 s across windows —
+    the signature probe cut star's gap from ~1.5 s (two exceptAll rounds)
+    to ~0.5 s (pure fixed-round cost).  Keep both, pick by graph shape.
     """
 
     def bidir(e: DataFrame) -> DataFrame:
