@@ -230,6 +230,48 @@ def redaction_counts(text: Column) -> list[Column]:
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality scoring (CCNet-style unigram log-probability)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
+                    precision: int = 3):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the model-based quality signal perplexity filters
+    threshold on (CCNet-style: low-probability token soup scores far
+    below fluent prose), complementing the heuristic ratios in
+    :func:`repetition_ratios` / ``quality_score``.
+
+    Two aggregations + one join, all standard shapes at 100 TB:
+
+    * corpus term frequencies — one hash shuffle on ``tok``, map-side
+      combined, output is the VOCABULARY (≪ corpus, typically
+      broadcastable — AQE decides the join strategy);
+    * per-doc mean of ``ln(count(tok)/total)`` over the token multiset —
+      the token→frequency join reuses the term shuffle key, then one
+      doc-keyed aggregation.
+
+    The mean is rounded to ``precision`` decimals IN the result (both the
+    engine and any SQL oracle state the same rounding) so last-ulp libm
+    and summation-order differences cannot surface.
+    """
+    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("s"))
+    return (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("s"))), precision).alias(
+                "avg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition ratios (Gopher-style quality filter signals)
 # ---------------------------------------------------------------------------
 

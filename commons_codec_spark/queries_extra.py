@@ -44,49 +44,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_mongo_cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    cents = F.round(F.col("value") * 100).cast("long")
-    oid = F.substring(F.md5(F.col("event_id").cast("string")), 1, 24)
-    optype = (
-        F.when(F.col("event_id") % 101 == 0, F.lit("drop"))
-        .when(F.col("event_type") == "error", F.lit("delete"))
-        .when(F.col("event_type") == "click", F.lit("replace"))
-        .otherwise(F.lit("insert"))
-    )
-    full = F.format_string(
-        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}},'
-        '"fullDocument":{"event_id":{"$numberLong":"%d"},"event_type":"%s",'
-        '"ts":{"$date":{"$numberLong":"%d"}},"user_id":{"$numberInt":"%d"},'
-        '"value_cents":{"$numberDouble":"%d"}}}',
-        optype, oid, F.col("event_id"), F.col("event_type"), ms,
-        F.col("user_id"), cents,
-    )
-    keyed = F.format_string(
-        '{"operationType":"%s","documentKey":{"_id":{"$oid":"%s"}}}', optype, oid
-    )
-    env = ev.select(
-        F.when(optype.isin("insert", "replace"), full)
-        .otherwise(keyed)
-        .alias("event")
-    )
-    decoded = decode_mongo_cdc(env, "event").filter(F.col("op").isNotNull())
-    rec = lambda p: F.get_json_object(F.col("record"), p)  # noqa: E731
-    return decoded.select(
-        "op",
-        "oid",
-        rec("$.event_id").cast("long").alias("event_id"),
-        rec("$.event_type").alias("event_type"),
-        rec("$.ts").cast("long").alias("ts_ms"),
-        rec("$.user_id").cast("long").alias("user_id"),
-        rec("$.value_cents").cast("double").cast("long").alias("value_cents"),
-    )
-
-
-def q_mongo_cdc_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP3 DIRECT path: the same change-stream envelopes decoded by
-    compile_mongo_direct_decoder (one typed from_json, no Python) —
-    pinned to the Arrow-lattice query's oracle."""
+    """EP3 through BOTH implementations in ONE query: the Arrow
+    Extended-JSON lattice (``decode_mongo_cdc``) and the compiled DIRECT
+    typed-``from_json`` path (``compile_mongo_direct_decoder``), each row
+    tagged with ``path`` — the oracle states the expected rows once per
+    path, so a divergence in EITHER implementation hash-mismatches.
+    (Collapsed from two registry entries so every entry fits the
+    driver's per-round sweep.)"""
     from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
 
     ev = _t(spark, sf_dir, "events")
@@ -115,6 +79,20 @@ def q_mongo_cdc_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(keyed)
         .alias("event")
     )
+
+    decoded = decode_mongo_cdc(env, "event").filter(F.col("op").isNotNull())
+    rec = lambda p: F.get_json_object(F.col("record"), p)  # noqa: E731
+    arrow = decoded.select(
+        F.lit("arrow").alias("path"),
+        "op",
+        "oid",
+        rec("$.event_id").cast("long").alias("event_id"),
+        rec("$.event_type").alias("event_type"),
+        rec("$.ts").cast("long").alias("ts_ms"),
+        rec("$.user_id").cast("long").alias("user_id"),
+        rec("$.value_cents").cast("double").cast("long").alias("value_cents"),
+    )
+
     dec = compile_mongo_direct_decoder(
         env,
         "event",
@@ -126,7 +104,8 @@ def q_mongo_cdc_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents": "double",
         },
     )
-    return dec.filter(F.col("op").isNotNull()).select(
+    jvm = dec.filter(F.col("op").isNotNull()).select(
+        F.lit("jvm").alias("path"),
         "op",
         "oid",
         F.col("event_id").cast("long").alias("event_id"),
@@ -135,9 +114,25 @@ def q_mongo_cdc_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_id"),
         F.col("value_cents").cast("long").alias("value_cents"),
     )
+    return arrow.unionAll(jvm)
 
 
-SQL_MONGO_CDC = """
+_SQL_MONGO_CDC_SELECT = """
+SELECT '{path}' AS path,
+       CASE WHEN optype = 'replace' THEN 'update'
+            WHEN optype = 'delete' THEN 'delete'
+            ELSE 'insert' END AS op,
+       oid,
+       CASE WHEN optype <> 'delete' THEN event_id END AS event_id,
+       CASE WHEN optype <> 'delete' THEN event_type END AS event_type,
+       CASE WHEN optype <> 'delete' THEN ts_ms END AS ts_ms,
+       CASE WHEN optype <> 'delete' THEN user_id END AS user_id,
+       CASE WHEN optype <> 'delete' THEN cents END AS value_cents
+FROM base WHERE optype <> 'drop'
+"""
+
+SQL_MONGO_CDC = (
+    """
 WITH base AS (
     SELECT event_id, user_id, event_type,
            epoch_ms(ts) // 1000 * 1000 AS ts_ms,
@@ -149,17 +144,11 @@ WITH base AS (
                 ELSE 'insert' END AS optype
     FROM events
 )
-SELECT CASE WHEN optype = 'replace' THEN 'update'
-            WHEN optype = 'delete' THEN 'delete'
-            ELSE 'insert' END AS op,
-       oid,
-       CASE WHEN optype <> 'delete' THEN event_id END AS event_id,
-       CASE WHEN optype <> 'delete' THEN event_type END AS event_type,
-       CASE WHEN optype <> 'delete' THEN ts_ms END AS ts_ms,
-       CASE WHEN optype <> 'delete' THEN user_id END AS user_id,
-       CASE WHEN optype <> 'delete' THEN cents END AS value_cents
-FROM base WHERE optype <> 'drop'
 """
+    + _SQL_MONGO_CDC_SELECT.format(path="arrow")
+    + " UNION ALL "
+    + _SQL_MONGO_CDC_SELECT.format(path="jvm")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -827,8 +816,9 @@ FROM f
 
 
 EXTRA_QUERIES = {
+    # both decode paths (Arrow Extended-JSON lattice + compiled DIRECT
+    # from_json) verified inside the ONE entry — see q_mongo_cdc_decode
     "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
-    "mongo_cdc_decode_jvm": (q_mongo_cdc_decode_jvm, SQL_MONGO_CDC),
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
     "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
     # both decode paths (Arrow kernel + JVM from_json twin) verified inside

@@ -460,6 +460,29 @@ FROM documents
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: per-doc mean unigram log-probability
+    under the corpus's own unigram LM (the CCNet-style perplexity-filter
+    signal).  Term-frequency shuffle + token→frequency join + doc agg —
+    see operators/text.py: unigram_logprob for the 100-TB shape."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+    FROM documents
+),
+tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS s FROM tf)
+SELECT doc_id,
+       round(avg(ln(tf.c / tot.s)), 3) AS avg_logprob,
+       count(*) AS n_tokens
+FROM toks JOIN tf USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequent 3-grams (boilerplate detection before dedup)."""
     d = _docs(spark, sf_dir)
@@ -641,4 +664,5 @@ PIPELINE_QUERIES = {
     "corpus_packing": (q_corpus_packing, SQL_CORPUS_PACKING),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "text_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
 }

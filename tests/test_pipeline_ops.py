@@ -336,6 +336,20 @@ def test_text_redaction(spark):
     assert "EvalPython" not in plan
 
 
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computable probabilities: a:2 b:2 c:1 of 5
+    tokens.  doc1 = 'a a b' -> mean(ln .4, ln .4, ln .4) = ln .4 = -0.916;
+    doc2 = 'b c' -> mean(ln .4, ln .2) = -1.263 (3dp)."""
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["avg_logprob"], r["n_tokens"])
+        for r in text.unigram_logprob(docs).collect()
+    }
+    assert got == {1: (-0.916, 3), 2: (-1.263, 2)}
+
+
 def test_repetition_ratios(spark):
     rows = [
         (1, "a a a a"),                # one distinct of four

@@ -118,15 +118,28 @@ def test_kafka_wire_decode_stays_jvm_side(spark):
 def test_new_jvm_contract_queries_are_python_free(spark):
     """The compiled decode variants must never regress to a Python round
     trip: universal_decode_inferred, telemetry_tts_ttn_jvm,
-    mongo_cdc_decode_jvm, corpus_curation."""
+    corpus_curation, and the Mongo DIRECT decoder (its contract query now
+    runs BOTH paths, so the JVM half is plan-checked directly)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     for name in (
         "universal_decode_inferred",
         "telemetry_tts_ttn_jvm",
-        "mongo_cdc_decode_jvm",
         "corpus_curation",
     ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+    from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
+
+    env = spark.createDataFrame(
+        [('{"operationType":"insert",'
+          '"documentKey":{"_id":{"$oid":"aaaaaaaaaaaaaaaaaaaaaaaa"}},'
+          '"fullDocument":{"event_id":{"$numberLong":"1"}}}',)],
+        "event string",
+    )
+    plan = _plan(
+        compile_mongo_direct_decoder(env, "event", {"event_id": "long"})
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
