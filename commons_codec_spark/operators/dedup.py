@@ -236,7 +236,11 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     means an unchanged set (up to a 2^-64-ish collision); the earlier
     probe ran TWO ``exceptAll`` anti-joins, each a full shuffle of both
     edge sets, doubling per-round cost in exactly the billions-of-edges
-    regime this variant exists for.
+    regime this variant exists for.  A signature match is then CONFIRMED
+    by one ``exceptAll`` pass over the final (star-contracted, smallest)
+    edge set before declaring convergence — paid once per run, not per
+    round — so a hash collision can delay a round but can never
+    silently return wrong cluster assignments.
 
     Crossover vs :func:`dedup_clusters`: on SHALLOW graphs (typical
     near-dup clusters — copies of copies, diameter 2-4) min-label wins
@@ -304,9 +308,15 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     for _ in range(max_iters):
         new_edges = small_star(large_star(edges)).localCheckpoint()
         new_sig = summary(new_edges)
-        edges = new_edges
+        prev_edges, edges = edges, new_edges
         unchanged, sig = new_sig == sig, new_sig
         if unchanged:
+            # confirm the probabilistic signature exactly: both sets are
+            # distinct with equal counts (from the matched summaries), so
+            # one one-sided exceptAll proves set equality.  Runs once per
+            # call; a collision (≈2^-64) just costs extra rounds.
+            if not prev_edges.exceptAll(edges).isEmpty():
+                continue
             # fixpoint: every component is a star rooted at its minimum
             labels = bidir(edges).groupBy(F.col("u").alias("id")).agg(
                 F.min("v").alias("nbr_min")

@@ -245,10 +245,16 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
     Two aggregations + one join, all standard shapes at 100 TB:
 
     * corpus term frequencies — one hash shuffle on ``tok``, map-side
-      combined, output is the VOCABULARY (≪ corpus, typically
-      broadcastable — AQE decides the join strategy);
+      combined, output is the VOCABULARY (≪ corpus);
     * per-doc mean of ``ln(count(tok)/total)`` over the token multiset —
-      the token→frequency join reuses the term shuffle key, then one
+      the token→frequency join is PINNED to a broadcast hash join: the
+      join key is Zipf-skewed ("the" is a hot key), so a sort-merge
+      fallback would shuffle the full token stream onto a skewed key at
+      100 TB.  A natural-language vocabulary is ~10^6-10^7 terms (tens of
+      MB) at ANY corpus size, so broadcasting is safe; for a pathological
+      vocabulary that outgrows the driver (e.g. tokenizing random bytes),
+      cap the model to the top-N terms by frequency before the join, or
+      salt ``tok`` — both preserve the skew-free plan.  Then one
       doc-keyed aggregation.
 
     The mean is rounded to ``precision`` decimals IN the result (both the
@@ -259,7 +265,7 @@ def unigram_logprob(docs, text_col: str = "text", id_col: str = "doc_id",
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = tf.agg(F.sum("c").alias("s"))
     return (
-        toks.join(tf, "tok")
+        toks.join(F.broadcast(tf), "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(

@@ -142,6 +142,36 @@ class _SimStreamReader(DataSourceStreamReader):
         self.parts = int(options.get("parts", "4"))
         self.tp = int(options.get("topic_partitions", "1"))
         self._latest = 0
+        # per-partition high-water marks learned from planned batch STARTS:
+        # a restarted reader instance starts _latest=0, but the first
+        # planned batch's start IS the checkpoint's committed position —
+        # see _fast_forward.
+        self._floor: dict[str, int] = {}
+
+    def _fast_forward(self, start: dict) -> None:
+        """Learn the committed position from a planned batch's start.
+
+        A fresh reader created on restart has ``_latest = 0``, so its
+        incremental ``latestOffset`` would otherwise return offsets BELOW
+        the checkpoint's committed offset — Spark would commit that
+        smaller end (a regressed checkpoint) and the following batch
+        would re-plan the already-applied range.  Fast-forwarding
+        ``_latest`` to the max committed start stops the regression after
+        the first planned batch, and the per-partition ``_floor`` clamps
+        every later range's low end so no committed offset is ever
+        re-emitted (the one batch planned BEFORE this learns anything is
+        empty by the ``end > start`` guards below).  Residual window: a
+        second crash inside that first post-restart batch can leave the
+        checkpoint one regressed commit behind, in which case the few
+        re-emitted rows are absorbed by the merge's seq ordering guard
+        (idempotent SETs, tombstone-guarded deletes).
+        """
+        for k, v in start.items():
+            v = int(v)
+            if self._floor.get(k, 0) < v:
+                self._floor[k] = v
+            if self._latest < v:
+                self._latest = v
 
     def initialOffset(self) -> dict:
         if self.tp == 1:
@@ -158,15 +188,18 @@ class _SimStreamReader(DataSourceStreamReader):
         return {str(p): self._latest for p in range(self.tp)}
 
     def partitions(self, start: dict, end: dict):
+        self._fast_forward(start)
         if self.tp > 1:
             out = [
-                _Range(int(start[str(p)]), int(end[str(p)]),
+                _Range(max(int(start[k]), self._floor.get(k, 0)), int(end[k]),
                        self.n_keys, self.seed, tp=self.tp, p=p)
                 for p in range(self.tp)
-                if int(end[str(p)]) > int(start[str(p)])
+                for k in (str(p),)
+                if int(end[k]) > max(int(start[k]), self._floor.get(k, 0))
             ]
             return out or [_Range(0, 0, self.n_keys, self.seed, tp=self.tp)]
-        lo, hi = int(start["offset"]), int(end["offset"])
+        lo = max(int(start["offset"]), self._floor.get("offset", 0))
+        hi = int(end["offset"])
         if hi <= lo:
             return [_Range(lo, lo, self.n_keys, self.seed)]
         step = max((hi - lo + self.parts - 1) // self.parts, 1)

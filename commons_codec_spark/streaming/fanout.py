@@ -44,6 +44,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -55,6 +56,14 @@ from commons_codec_spark.functions.dms import route_schema
 from commons_codec_spark.lake.interface import LakeSink
 from commons_codec_spark.registry import SchemaRegistry
 from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+
+def _shutdown_pool(cell: list) -> None:
+    """weakref.finalize target — must not reference the pipeline."""
+    pool = cell[0]
+    if pool is not None:
+        pool.shutdown(wait=False)
+        cell[0] = None
 
 
 @dataclass
@@ -101,6 +110,14 @@ class MultiTablePipeline:
             or SchemaRegistry()
         )
         self._pool: ThreadPoolExecutor | None = None
+        # last-resort pool reaper for callers that drop the pipeline
+        # without close(): each pool thread pins a JVM companion thread
+        # under pinned-thread mode, so a long-lived driver constructing
+        # many pipelines would otherwise leak both sides.  finalize holds
+        # no reference to self (it closes over a mutable cell), so it
+        # cannot keep the pipeline alive.
+        self._pool_cell: list[ThreadPoolExecutor | None] = [None]
+        self._finalizer = weakref.finalize(self, _shutdown_pool, self._pool_cell)
         self.pipelines: dict[tuple[str, str], CDCPipeline] = {}
         for (schema, table), target in targets.items():
             # copy, don't mutate: a caller sharing one PipelineConfig across
@@ -193,18 +210,19 @@ class MultiTablePipeline:
 
             def _one(route):
                 s, t = route
-                self.spark.sparkContext.setLocalProperty(
-                    "spark.scheduler.pool", f"fanout-{s}-{t}"
-                )
+                sc = self.spark.sparkContext
+                # restore, don't clear: in the sequential fallback this runs
+                # on the CALLER's thread, and a caller-set scheduler pool
+                # must survive the batch
+                prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+                sc.setLocalProperty("spark.scheduler.pool", f"fanout-{s}-{t}")
                 try:
                     sub = routed.filter(
                         (F.col("__route_schema") == s) & (F.col(table_col) == t)
                     ).drop("__route_schema")
                     return self.pipelines[(s, t)].apply_batch(sub, batch_id)
                 finally:
-                    self.spark.sparkContext.setLocalProperty(
-                        "spark.scheduler.pool", None
-                    )
+                    sc.setLocalProperty("spark.scheduler.pool", prev_pool)
 
             if self.max_parallel_tables > 1 and len(ordered) > 1:
                 if self._pool is None:
@@ -217,6 +235,11 @@ class MultiTablePipeline:
                         max_workers=self.max_parallel_tables,
                         thread_name_prefix="fanout-merge",
                     )
+                    self._pool_cell[0] = self._pool
+                    if not self._finalizer.alive:  # re-armed after close()
+                        self._finalizer = weakref.finalize(
+                            self, _shutdown_pool, self._pool_cell
+                        )
                 # wait for EVERY future before propagating a failure: the
                 # batch is unpersisted in the finally below, and surviving
                 # merges must not race that (or the caller's post-crash
@@ -249,6 +272,21 @@ class MultiTablePipeline:
         }
         self.metrics.append(out)
         return out
+
+    # ------------------------------------------------------------ lifecycle
+
+    def close(self) -> None:
+        """Shut down the merge thread pool.  Call when the pipeline is
+        done (or use the pipeline as a context manager); otherwise the
+        ``weakref.finalize`` reaper releases the threads at GC time."""
+        self._finalizer()  # runs _shutdown_pool once; later calls no-op
+        self._pool = None
+
+    def __enter__(self) -> "MultiTablePipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # ------------------------------------------------------------ replay
 

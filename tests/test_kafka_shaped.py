@@ -108,11 +108,13 @@ def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
     engine resumes from the committed wire offset and the final state has
     no duplicates or gaps (exactly-once across the restart).
 
-    A restarted reader instance starts its incremental ``latestOffset``
-    below the checkpoint's committed offset, so ``processAllAvailable``
-    can observe a no-new-data window during catch-up — the drain
-    therefore polls for convergence against the batch-applied expected
-    state instead.
+    A restarted reader instance learns the committed position from the
+    first planned batch's start offsets (``_fast_forward``) — its
+    incremental ``latestOffset`` never regresses past that first (empty)
+    batch and no committed range is re-emitted.  The drain still polls
+    for convergence rather than trusting one ``processAllAvailable``:
+    that first empty catch-up batch can make a single drain call return
+    before new offsets are discovered.
     """
     import time
 

@@ -98,6 +98,20 @@ def test_dedup_and_ann_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_unigram_logprob_join_is_broadcast(spark):
+    """The token→frequency join key is Zipf-skewed ("the" is a hot key at
+    100 TB), so the plan is pinned to a broadcast hash join over the
+    vocabulary-sized frequency side — a sort-merge fallback would shuffle
+    the full token stream onto the skewed key."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["text_unigram_logprob"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_kafka_wire_decode_stays_jvm_side(spark):
     """The Kafka value→envelope→typed-columns decode chain is one
     from_json + the compiled image decode — no Python workers."""
