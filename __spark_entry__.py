@@ -62,8 +62,15 @@ def _all_queries() -> dict:
     from commons_codec_spark.queries_engine import ENGINE_QUERIES
     from commons_codec_spark.queries_extra import EXTRA_QUERIES
     from commons_codec_spark.queries_pipeline import PIPELINE_QUERIES
+    from commons_codec_spark.queries_wire import WIRE_QUERIES
 
-    return {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **ENGINE_QUERIES}
+    return {
+        **CORE_QUERIES,
+        **PIPELINE_QUERIES,
+        **EXTRA_QUERIES,
+        **ENGINE_QUERIES,
+        **WIRE_QUERIES,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,17 +1,23 @@
 """Benchmark driver: CDC replay throughput + per-query timings + scaling.
 
-Prints ONE JSON line (queries dict first, headline/scaling/hot-key LAST so
-a tail-truncated capture still contains every gate figure; the same record
-is written to BENCH_LOCAL.json):
+Prints the FULL record as one JSON line (queries dict first,
+headline/scaling/hot-key LAST so a tail-truncated capture still contains
+every gate figure; the same record is written to BENCH_LOCAL.json), then a
+COMPACT (<2000 chars) summary as the FINAL line so a last-line parse of a
+tail capture always succeeds:
 
-    {"queries": {...per-query sec...},
+    {"queries": {...per-query sec (lifecycle queries: min-of-2)...},
      "fanout": {...sequential vs concurrent multi-table merge...},
      "decode_recheck": {...universal_decode interleaved re-measure...},
      "hot_key": {..., "ratio_vs_uniform": ..., "median_ratio_vs_uniform": ...},
      "scaling": {"cpus_low": 2, "cpus_high": 8, "efficiency": ...,
                  "extra_pairs": {"8->32": ...}},
      "sf": <sf>, "events": N, "metric": "cdc_replay_e2e_sec",
-     "unit": "sec", "value": <sec>, "events_per_sec": ...}
+     "unit": "sec", "value": <sec>, "events_per_sec": ...,
+     "headline_wall_samples_sec": [...]}
+    {"metric": ..., "value": ..., "events_per_sec": ...,
+     "scaling": {...gates...}, "hot_key": {...gates...},
+     "fanout_speedup": ..., "full_record": "line above / BENCH_LOCAL.json"}
 
 Headline = end-to-end decode->fold->merge replay of a deterministic
 synthetic envelope log (written to parquet first; generation excluded from
@@ -105,14 +111,18 @@ def best_of(
     Single replays vary ±40% on this shared VM (JIT, page cache, AQE
     decisions); the min is the reproducible steady-state figure.
     """
-    best = None
+    best, walls = None, []
     for i in range(runs):
         m = run_replay(
             spark, log_dir, os.path.join(work_root, f"r{i}"),
             n_buckets=n_buckets, salt_chunks=salt_chunks,
         )
+        walls.append(m["wall_sec"])
         if best is None or m["wall_sec"] < best["wall_sec"]:
             best = m
+    # raw samples ship in the artifact: on this ±40%-noise shared VM the
+    # min alone can't tell engine from box across rounds
+    best["wall_samples_sec"] = walls
     return best
 
 
@@ -152,16 +162,27 @@ def run_replay(
     return out
 
 
+def _is_lifecycle(name: str) -> bool:
+    """Queries that stand up a throwaway lake / checkpoint / streaming
+    engine inside the query: their FIRST run pays cold-JIT + page-cache
+    costs 3-6x the warm figure (r4's sweep read 38s for a 7s query), so
+    they get min-of-2 below."""
+    return name.startswith(("cdc_", "mongo_full_load"))
+
+
 def timed_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     out = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        # noop sink forces FULL evaluation of every column (count() lets
-        # Catalyst prune the expensive ones away)
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2 if _is_lifecycle(name) else 1):
+            t0 = time.time()
+            # noop sink forces FULL evaluation of every column (count()
+            # lets Catalyst prune the expensive ones away)
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
     return out
 
 
@@ -274,6 +295,7 @@ def main() -> None:
     result["unit"] = "sec"
     result["final_rows"] = head["final_rows"]
     result["events_per_sec"] = round(N_EVENTS / head["wall_sec"], 1)
+    result["headline_wall_samples_sec"] = head["wall_samples_sec"]
 
     # --- hot-key regime: same event count, one key carries ~30% of the
     # stream (the north rule's skew case).  salt_chunks="auto" must keep
@@ -448,11 +470,13 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     # Truncation-proof emission: the driver keeps the TAIL of the output
-    # and parses the last line, so (a) the big per-query dict goes FIRST
-    # and the headline/scaling/hot-key fields go LAST inside the one JSON
-    # line — a 2000-char tail still contains every gate figure; (b) a
-    # leading newline guards against anything earlier on the same line;
-    # (c) the full record is also written to BENCH_LOCAL.json in the repo.
+    # and parses the LAST line, so (a) the full record prints first (big
+    # per-query dict leading, gate figures trailing — a tail capture of the
+    # full line still shows every gate); (b) the FINAL printed line is a
+    # COMPACT (<2000 chars) summary carrying the headline + every gate
+    # figure, so the driver's last-line parse always succeeds even when
+    # the full record exceeds the tail window; (c) the full record is also
+    # written to BENCH_LOCAL.json in the repo.
     tail_last = ("fanout", "decode_recheck", "hot_key", "scaling",
                  "n_buckets", "final_rows", "sf", "events", "metric",
                  "unit", "value", "events_per_sec")
@@ -465,9 +489,39 @@ def main() -> None:
             json.dump(out, fh)
     except OSError:
         pass
+    summary = {
+        "metric": out.get("metric"),
+        "value": out.get("value"),
+        "unit": out.get("unit"),
+        "sf": out.get("sf"),
+        "events": out.get("events"),
+        "events_per_sec": out.get("events_per_sec"),
+        "headline_wall_samples_sec": out.get("headline_wall_samples_sec"),
+    }
+    if "scaling" in out:
+        sc = out["scaling"]
+        summary["scaling"] = {
+            k: sc.get(k)
+            for k in ("cpus_low", "cpus_high", "efficiency",
+                      "events_per_sec_low", "events_per_sec_high",
+                      "extra_pairs", "cpu_control_eff")
+        }
+    if "hot_key" in out:
+        hk = out["hot_key"]
+        summary["hot_key"] = {
+            k: hk.get(k)
+            for k in ("ratio_vs_uniform", "median_ratio_vs_uniform",
+                      "salted_speedup_vs_unsalted",
+                      "median_salted_speedup_vs_unsalted",
+                      "salt_chunks_engaged")
+        }
+    if "fanout" in out:
+        summary["fanout_speedup"] = out["fanout"].get("speedup")
+    summary["full_record"] = "line above / BENCH_LOCAL.json"
     sys.stdout.flush()
     print()
     print(json.dumps(out), flush=True)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

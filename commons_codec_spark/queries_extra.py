@@ -157,44 +157,14 @@ WITH base AS (
 
 
 def q_tts_ttn_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TTS/TTN uplink decode: payload merge + bw/freq/sf/counter derivation
-    + per-gateway dynamic rssi columns + gtw_count (D13)."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    payload = F.format_string(
-        '{"end_device_ids":{"device_id":"dev-%d"},'
-        '"uplink_message":{"decoded_payload":{"reading_cents":%d},'
-        '"settings":{"data_rate":{"lora":{"bandwidth":125000,'
-        '"spreading_factor":7}},"frequency":"868100000"},'
-        '"f_cnt":%d,"rx_metadata":['
-        '{"gateway_ids":{"gateway_id":"gw0"},"rssi":%d,"snr":5},'
-        '{"gateway_ids":{"gateway_id":"gw1"},"rssi":%d,"snr":7}]}}',
-        F.col("user_id"), cents, F.col("event_id") % 65536,
-        -(F.col("user_id") % 60 + 30), -(F.col("user_id") % 60 + 35),
-    )
-    env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_telemetry(env, "tts_ttn", "payload")
-    out = readings_to_columns(
-        decoded,
-        {
-            "device_id": "string",
-            "reading_cents": "long",
-            "bw": "double",
-            "sf": "long",
-            "freq": "double",
-            "counter": "long",
-            "gtw_count": "long",
-            "gw_gw0_rssi": "long",
-            "gw_gw1_rssi": "long",
-        },
-    )
-    return out.drop("reading", "error")
-
-
-def q_tts_ttn_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D13 as pure column expressions (decode_tts_ttn_jvm): same uplinks,
-    same pivot, no Python workers — pinned to the same oracle as the
-    Arrow-kernel query."""
+    """TTS/TTN uplink decode (D13) through BOTH implementations in ONE
+    query: payload merge + bw/freq/sf/counter derivation + per-gateway
+    dynamic rssi columns + gtw_count, via the Arrow kernel
+    (``decode_telemetry``) AND the pure-column-expression JVM twin
+    (``decode_tts_ttn_jvm``), each row tagged with ``path`` — the oracle
+    states the expected rows once per path, so a divergence in EITHER
+    implementation hash-mismatches.  (Collapsed from two registry entries
+    so every entry fits the driver's per-round sweep.)"""
     from commons_codec_spark.functions.telemetry import decode_tts_ttn_jvm
 
     ev = _t(spark, sf_dir, "events")
@@ -211,25 +181,30 @@ def q_tts_ttn_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         -(F.col("user_id") % 60 + 30), -(F.col("user_id") % 60 + 35),
     )
     env = ev.select("event_id", payload.alias("payload"))
-    out = readings_to_columns(
-        decode_tts_ttn_jvm(env),
-        {
-            "device_id": "string",
-            "reading_cents": "long",
-            "bw": "double",
-            "sf": "long",
-            "freq": "double",
-            "counter": "long",
-            "gtw_count": "long",
-            "gw_gw0_rssi": "long",
-            "gw_gw1_rssi": "long",
-        },
+    cols = {
+        "device_id": "string",
+        "reading_cents": "long",
+        "bw": "double",
+        "sf": "long",
+        "freq": "double",
+        "counter": "long",
+        "gtw_count": "long",
+        "gw_gw0_rssi": "long",
+        "gw_gw1_rssi": "long",
+    }
+
+    def pivot(decoded, tag):
+        out = readings_to_columns(decoded, cols).drop("reading", "error")
+        return out.select(F.lit(tag).alias("path"), *out.columns)
+
+    return pivot(decode_telemetry(env, "tts_ttn", "payload"), "arrow").unionAll(
+        pivot(decode_tts_ttn_jvm(env), "jvm")
     )
-    return out.drop("reading", "error")
 
 
-SQL_TTS_TTN = """
-SELECT event_id,
+_SQL_TTS_TTN_ONE = """
+SELECT '{path}' AS path,
+       event_id,
        'dev-' || CAST(user_id AS VARCHAR) AS device_id,
        CAST(round(value * 100) AS BIGINT) AS reading_cents,
        CAST(125.0 AS DOUBLE) AS bw,
@@ -241,6 +216,12 @@ SELECT event_id,
        CAST(-(user_id % 60 + 35) AS BIGINT) AS gw_gw1_rssi
 FROM events
 """
+
+SQL_TTS_TTN = (
+    _SQL_TTS_TTN_ONE.format(path="arrow")
+    + " UNION ALL "
+    + _SQL_TTS_TTN_ONE.format(path="jvm")
+)
 
 
 def q_tasmota_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,31 +278,14 @@ SQL_TASMOTA = (
 
 
 def q_sensor_community_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sensor.Community decode: sensordatavalues[] explode + numeric
-    coercion + integer whitelist + non-numeric passthrough (D12)."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    payload = F.format_string(
-        '{"sensordatavalues":[{"value_type":"P1","value":"%d"},'
-        '{"value_type":"samples","value":"%d"},'
-        '{"value_type":"note","value":"x%d"}]}',
-        cents, F.col("user_id") % 50, F.col("user_id"),
-    )
-    env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_telemetry(env, "sensor_community", "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        r["P1"].cast("double").cast("long").alias("p1"),
-        r["samples"].cast("long").alias("samples"),
-        F.translate(r["note"], '"', "").alias("note"),
-    )
-
-
-def q_sensor_community_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D12 as column expressions (decode_sensor_community_jvm): same
-    payloads and oracle; explode-free map_from_entries, last-wins dup
-    keys, no Python workers."""
+    """Sensor.Community decode (D12) through BOTH implementations in ONE
+    query: sensordatavalues[] explode + numeric coercion + integer
+    whitelist + non-numeric passthrough via the Arrow kernel
+    (``decode_telemetry``) AND the explode-free ``map_from_entries`` JVM
+    twin (``decode_sensor_community_jvm``), each row tagged with ``path``
+    — a divergence in EITHER implementation hash-mismatches.  (Collapsed
+    from two registry entries so every entry fits the driver's per-round
+    sweep.)"""
     from commons_codec_spark.functions.telemetry import decode_sensor_community_jvm
 
     ev = _t(spark, sf_dir, "events")
@@ -333,23 +297,36 @@ def q_sensor_community_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame
         cents, F.col("user_id") % 50, F.col("user_id"),
     )
     env = ev.select("event_id", payload.alias("payload"))
-    decoded = decode_sensor_community_jvm(env, "payload")
-    r = F.col("reading")
-    return decoded.select(
-        "event_id",
-        r["P1"].cast("double").cast("long").alias("p1"),
-        r["samples"].cast("long").alias("samples"),
-        F.translate(r["note"], '"', "").alias("note"),
-    )
+
+    def pivot(decoded, tag):
+        r = F.col("reading")
+        return decoded.select(
+            F.lit(tag).alias("path"),
+            "event_id",
+            r["P1"].cast("double").cast("long").alias("p1"),
+            r["samples"].cast("long").alias("samples"),
+            F.translate(r["note"], '"', "").alias("note"),
+        )
+
+    return pivot(
+        decode_telemetry(env, "sensor_community", "payload"), "arrow"
+    ).unionAll(pivot(decode_sensor_community_jvm(env, "payload"), "jvm"))
 
 
-SQL_SENSOR_COMMUNITY = """
-SELECT event_id,
+_SQL_SENSOR_COMMUNITY_ONE = """
+SELECT '{path}' AS path,
+       event_id,
        CAST(round(value * 100) AS BIGINT) AS p1,
        CAST(user_id % 50 AS BIGINT) AS samples,
        'x' || CAST(user_id AS VARCHAR) AS note
 FROM events
 """
+
+SQL_SENSOR_COMMUNITY = (
+    _SQL_SENSOR_COMMUNITY_ONE.format(path="arrow")
+    + " UNION ALL "
+    + _SQL_SENSOR_COMMUNITY_ONE.format(path="jvm")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -819,13 +796,11 @@ EXTRA_QUERIES = {
     # both decode paths (Arrow Extended-JSON lattice + compiled DIRECT
     # from_json) verified inside the ONE entry — see q_mongo_cdc_decode
     "mongo_cdc_decode": (q_mongo_cdc_decode, SQL_MONGO_CDC),
+    # telemetry twins (Arrow kernel + JVM expression path) are each
+    # verified inside ONE both-path entry — see the q_* docstrings
     "telemetry_tts_ttn": (q_tts_ttn_decode, SQL_TTS_TTN),
-    "telemetry_tts_ttn_jvm": (q_tts_ttn_decode_jvm, SQL_TTS_TTN),
-    # both decode paths (Arrow kernel + JVM from_json twin) verified inside
-    # the ONE entry — see q_tasmota_decode
     "telemetry_tasmota": (q_tasmota_decode, SQL_TASMOTA),
     "telemetry_sensor_community": (q_sensor_community_decode, SQL_SENSOR_COMMUNITY),
-    "telemetry_sensor_community_jvm": (q_sensor_community_decode_jvm, SQL_SENSOR_COMMUNITY),
     "similarity_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "similarity_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),

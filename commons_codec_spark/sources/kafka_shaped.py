@@ -62,7 +62,9 @@ _ENVELOPE_DDL = "op string, commit_seq long, keys_json string, image string"
 _EPOCH_BASE = 1_700_000_000  # fixed so the stream is bit-deterministic
 
 
-def _wire_event(i: int, n_keys: int, seed: int) -> tuple:
+def _wire_event(
+    i: int, n_keys: int, seed: int, n_tables: int = 0, evolve_from: int = -1
+) -> tuple:
     """Deterministic event ``i`` of the simulated single-partition topic.
 
     Op mix mirrors the engine's synthetic event log: mostly inserts with
@@ -71,10 +73,16 @@ def _wire_event(i: int, n_keys: int, seed: int) -> tuple:
     """
     h = int(md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
     k = h % n_keys
-    return _wire_tuple(i=i, seq=i, k=k, h=h, partition=k % 4)
+    return _wire_tuple(
+        i=i, seq=i, k=k, h=h, partition=k % 4,
+        n_tables=n_tables, evolve_from=evolve_from,
+    )
 
 
-def _wire_event_mp(p: int, j: int, tp: int, n_keys: int, seed: int) -> tuple:
+def _wire_event_mp(
+    p: int, j: int, tp: int, n_keys: int, seed: int,
+    n_tables: int = 0, evolve_from: int = -1,
+) -> tuple:
     """Deterministic event at offset ``j`` of topic partition ``p`` (of
     ``tp``).  Keys are pinned to partitions (``k % tp == p``) and
     ``commit_seq = j * tp + p`` — globally unique and ascending in each
@@ -84,27 +92,41 @@ def _wire_event_mp(p: int, j: int, tp: int, n_keys: int, seed: int) -> tuple:
     h = int(md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8], 16)
     keys_per_part = max(n_keys // tp, 1)
     k = p + tp * (h % keys_per_part)
-    return _wire_tuple(i=j, seq=j * tp + p, k=k, h=h, partition=p)
+    return _wire_tuple(
+        i=j, seq=j * tp + p, k=k, h=h, partition=p,
+        n_tables=n_tables, evolve_from=evolve_from,
+    )
 
 
-def _wire_tuple(i: int, seq: int, k: int, h: int, partition: int) -> tuple:
+def _wire_tuple(
+    i: int, seq: int, k: int, h: int, partition: int,
+    n_tables: int = 0, evolve_from: int = -1,
+) -> tuple:
     if i % 7 == 3:
         op, image = "delete", None
     else:
         op = "update" if i % 3 == 1 else "insert"
-        image = json.dumps(
-            {
-                "uid": {"N": str(k)},
-                "name": {"S": f"u{k}-{seq}"},
-                "val": {"N": str(h % 100_000)},
-            },
-            separators=(",", ":"),
-        )
+        img = {
+            "uid": {"N": str(k)},
+            "name": {"S": f"u{k}-{seq}"},
+            "val": {"N": str(h % 100_000)},
+        }
+        # schema evolution mid-stream: images from wire offset
+        # ``evolve_from`` onward carry an additive column (the north
+        # rule's ``lang`` case, delivered over the wire transport)
+        if 0 <= evolve_from <= i:
+            img["lang"] = {"S": f"l{k % 7}"}
+        image = json.dumps(img, separators=(",", ":"))
     keys_json = json.dumps({"uid": {"N": str(k)}}, separators=(",", ":"))
-    value = json.dumps(
-        {"op": op, "commit_seq": seq, "keys_json": keys_json, "image": image},
-        separators=(",", ":"),
-    )
+    envelope: dict = {"op": op, "commit_seq": seq}
+    if n_tables > 0:
+        # heterogeneous topic: each key belongs to ONE table (so per-key
+        # ordering survives routing), route fields ride inside `value`
+        # exactly as a multi-table Debezium/DMS topic would carry them
+        envelope["schema_name"] = "public"
+        envelope["table_name"] = f"t{k % n_tables}"
+    envelope.update({"keys_json": keys_json, "image": image})
+    value = json.dumps(envelope, separators=(",", ":"))
     return (
         keys_json.encode(),
         value.encode(),
@@ -118,11 +140,12 @@ def _wire_tuple(i: int, seq: int, k: int, h: int, partition: int) -> tuple:
 class _Range(InputPartition):
     def __init__(
         self, start: int, end: int, n_keys: int, seed: int,
-        tp: int = 1, p: int = 0,
+        tp: int = 1, p: int = 0, n_tables: int = 0, evolve_from: int = -1,
     ):
         self.start, self.end = start, end
         self.n_keys, self.seed = n_keys, seed
         self.tp, self.p = tp, p
+        self.n_tables, self.evolve_from = n_tables, evolve_from
 
 
 class _SimStreamReader(DataSourceStreamReader):
@@ -141,6 +164,8 @@ class _SimStreamReader(DataSourceStreamReader):
         self.seed = int(options.get("seed", "42"))
         self.parts = int(options.get("parts", "4"))
         self.tp = int(options.get("topic_partitions", "1"))
+        self.n_tables = int(options.get("n_tables", "0"))
+        self.evolve_from = int(options.get("evolve_from", "-1"))
         self._latest = 0
         # per-partition high-water marks learned from planned batch STARTS:
         # a restarted reader instance starts _latest=0, but the first
@@ -189,10 +214,11 @@ class _SimStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         self._fast_forward(start)
+        extra = {"n_tables": self.n_tables, "evolve_from": self.evolve_from}
         if self.tp > 1:
             out = [
                 _Range(max(int(start[k]), self._floor.get(k, 0)), int(end[k]),
-                       self.n_keys, self.seed, tp=self.tp, p=p)
+                       self.n_keys, self.seed, tp=self.tp, p=p, **extra)
                 for p in range(self.tp)
                 for k in (str(p),)
                 if int(end[k]) > max(int(start[k]), self._floor.get(k, 0))
@@ -204,20 +230,25 @@ class _SimStreamReader(DataSourceStreamReader):
             return [_Range(lo, lo, self.n_keys, self.seed)]
         step = max((hi - lo + self.parts - 1) // self.parts, 1)
         return [
-            _Range(s, min(s + step, hi), self.n_keys, self.seed)
+            _Range(s, min(s + step, hi), self.n_keys, self.seed, **extra)
             for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
+        nt = getattr(partition, "n_tables", 0)
+        ef = getattr(partition, "evolve_from", -1)
         if partition.tp > 1:
             for j in range(partition.start, partition.end):
                 yield _wire_event_mp(
                     partition.p, j, partition.tp, partition.n_keys,
-                    partition.seed,
+                    partition.seed, n_tables=nt, evolve_from=ef,
                 )
             return
         for i in range(partition.start, partition.end):
-            yield _wire_event(i, partition.n_keys, partition.seed)
+            yield _wire_event(
+                i, partition.n_keys, partition.seed,
+                n_tables=nt, evolve_from=ef,
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine's checkpoint
@@ -253,19 +284,52 @@ def simulated_wire_df(spark: SparkSession, options: dict) -> DataFrame:
     n_keys = int(options.get("n_keys", "200"))
     seed = int(options.get("seed", "42"))
     tp = int(options.get("topic_partitions", "1"))
+    nt = int(options.get("n_tables", "0"))
+    ef = int(options.get("evolve_from", "-1"))
     if tp > 1:
         rows = [
-            _wire_event_mp(p, j, tp, n_keys, seed)
+            _wire_event_mp(p, j, tp, n_keys, seed, n_tables=nt, evolve_from=ef)
             for p in range(tp)
             for j in range(n // tp)
         ]
     else:
-        rows = [_wire_event(i, n_keys, seed) for i in range(n)]
+        rows = [
+            _wire_event(i, n_keys, seed, n_tables=nt, evolve_from=ef)
+            for i in range(n)
+        ]
     return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
 
 
 #: image schema of the simulated stream (PipelineConfig.image_columns)
 SIM_IMAGE_COLUMNS = {"uid": "N", "name": "S", "val": "N"}
+
+#: envelope of a routed (multi-table) wire value
+_ROUTED_ENVELOPE_DDL = (
+    "op string, commit_seq long, schema_name string, table_name string, "
+    "keys_json string, image string"
+)
+
+
+def unwrap_wire_envelope(routed: bool = False):
+    """Pure column transform: Kafka wire rows → envelope rows.
+
+    One ``from_json`` over ``value`` — usable directly on the STREAMING
+    DataFrame (``run_stream(stream_transform=...)``), so micro-batches
+    reach the pipeline already envelope-shaped and the DEFAULT decode path
+    runs: compiled JVM image decode, additive column discovery
+    (schema evolution), the keys-only touched-bucket/skew prescan, and
+    auto-salting all apply to the wire transport unchanged.  ``routed=True``
+    keeps the in-value ``schema_name``/``table_name`` for multi-table
+    fan-out topics.
+    """
+    ddl = _ROUTED_ENVELOPE_DDL if routed else _ENVELOPE_DDL
+
+    def unwrap(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.from_json(F.col("value").cast("string"), ddl).alias("e")
+        ).select("e.*")
+
+    return unwrap
 
 
 def make_kafka_cdc_decoder(image_columns: dict[str, str]):

@@ -314,12 +314,16 @@ class MultiTablePipeline:
         max_files_per_trigger: int = 4,
         source_options: dict | None = None,
         available_now: bool = True,
+        stream_transform=None,
     ):
         """Structured-Streaming form: one ``readStream`` fans out inside
         ``foreachBatch``; offsets in the checkpoint + per-sink idempotent
         merges = exactly-once across ALL targets.  ``source_dir=None`` +
         ``source_options`` target path-less sources (Kafka, registered
-        Python data sources) exactly as in :meth:`CDCPipeline.run_stream`.
+        Python data sources) exactly as in :meth:`CDCPipeline.run_stream`;
+        ``stream_transform`` (e.g. ``unwrap_wire_envelope(routed=True)``)
+        maps wire rows to routed envelope rows on the streaming DataFrame,
+        so one heterogeneous topic fans out to every registered table.
         """
         checkpoint = checkpoint_dir or self.checkpoint_dir
         if checkpoint is None:
@@ -335,6 +339,8 @@ class MultiTablePipeline:
         if schema:
             reader = reader.schema(schema)
         stream = reader.load(source_dir) if source_dir is not None else reader.load()
+        if stream_transform is not None:
+            stream = stream_transform(stream)
         writer = stream.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(
                 df.drop("batch_id") if "batch_id" in df.columns else df, bid

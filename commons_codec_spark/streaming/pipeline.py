@@ -565,6 +565,7 @@ class CDCPipeline:
         max_files_per_trigger: int = 4,
         source_options: dict | None = None,
         available_now: bool = True,
+        stream_transform: Callable[[DataFrame], DataFrame] | None = None,
     ):
         """Tail an envelope stream with Structured Streaming.
 
@@ -578,6 +579,12 @@ class CDCPipeline:
         :mod:`~..sources.kafka_shaped`); ``available_now=False`` runs a
         continuous trigger — pair it with ``query.processAllAvailable()``
         + ``stop()`` for deterministic drains of unbounded sources.
+
+        ``stream_transform`` is a pure column transform applied to the
+        STREAMING DataFrame before ``foreachBatch`` — e.g.
+        :func:`~..sources.kafka_shaped.unwrap_wire_envelope` turns wire
+        rows into envelope rows so the default decode path (discovery,
+        prescan, auto-salt) serves the wire transport unchanged.
         """
         checkpoint = checkpoint_dir or self.checkpoint_dir
         if checkpoint is None:
@@ -593,6 +600,8 @@ class CDCPipeline:
         if schema:
             reader = reader.schema(schema)
         stream = reader.load(source_dir) if source_dir is not None else reader.load()
+        if stream_transform is not None:
+            stream = stream_transform(stream)
         writer = stream.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(
                 df.drop("batch_id") if "batch_id" in df.columns else df, bid

@@ -163,3 +163,127 @@ def test_kafka_shaped_resume_from_checkpoint(spark, tmp_path):
         time.sleep(2)
     q2.stop()
     assert sorted(map(tuple, table.read().collect())) == expected
+
+
+def test_kafka_fanout_wire_resume(spark, tmp_path):
+    """EP1 x S1 composition under failure: ONE heterogeneous wire topic
+    (route fields inside ``value``, keys pinned to topic partitions) fans
+    out through ``MultiTablePipeline.run_stream``; kill mid-topic, restart
+    with the same checkpoint — composite offsets resume and the final
+    state across ALL sinks equals a batch apply of the same events
+    (exactly-once across every table under the wire transport)."""
+    import time
+
+    from commons_codec_spark.sources.kafka_shaped import unwrap_wire_envelope
+    from commons_codec_spark.streaming.fanout import (
+        MultiTablePipeline,
+        TableTarget,
+    )
+
+    register(spark)
+    opts = {"n_events": "2400", "rows_per_batch": "300", "n_keys": "120",
+            "seed": "57", "topic_partitions": "3", "n_tables": "3"}
+
+    def mk_targets(prefix):
+        return {
+            ("public", f"t{i}"): TableTarget(
+                _table(spark, tmp_path / f"{prefix}{i}"),
+                PipelineConfig(keys=["uid"], image_columns=SIM_IMAGE_COLUMNS,
+                               discover_columns=False),
+            )
+            for i in range(3)
+        }
+
+    # batch twin: same events, one apply, per-table expected state
+    batch_targets = mk_targets("b")
+    with MultiTablePipeline(spark, batch_targets) as bp:
+        bp.apply_batch(
+            unwrap_wire_envelope(routed=True)(simulated_wire_df(spark, opts)),
+            batch_id=0,
+        )
+    expected = {
+        k: sorted(map(tuple, t.table.read().collect()))
+        for k, t in batch_targets.items()
+    }
+    assert all(expected.values())
+
+    targets = mk_targets("s")
+    ck = str(tmp_path / "ck")
+
+    def snapshot():
+        return {
+            k: sorted(map(tuple, t.table.read().collect()))
+            for k, t in targets.items()
+        }
+
+    with MultiTablePipeline(spark, targets, checkpoint_dir=ck) as p1:
+        q1 = p1.run_stream(
+            None, source_format="cdc_kafka_sim", source_options=opts,
+            available_now=False,
+            stream_transform=unwrap_wire_envelope(routed=True),
+        )
+        deadline = time.time() + 120
+        while not p1.metrics:
+            assert time.time() < deadline, "no micro-batch before kill"
+            q1.awaitTermination(0.5)
+        q1.stop()
+    assert snapshot() != expected, (
+        "stream finished before the kill — shrink rows_per_batch"
+    )
+
+    with MultiTablePipeline(spark, targets, checkpoint_dir=ck) as p2:
+        q2 = p2.run_stream(
+            None, source_format="cdc_kafka_sim", source_options=opts,
+            available_now=False,
+            stream_transform=unwrap_wire_envelope(routed=True),
+        )
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if snapshot() == expected:
+                break
+            time.sleep(2)
+        q2.stop()
+    assert snapshot() == expected
+
+
+def test_kafka_wire_schema_evolution(spark, tmp_path):
+    """North-rule additive column over the wire transport: images carry a
+    new ``lang`` key from mid-topic onward; streamed discovery must widen
+    the schema mid-stream and the final state must equal a batch apply of
+    the same events (pre-cutover survivors read NULL lang)."""
+    from commons_codec_spark.sources.kafka_shaped import unwrap_wire_envelope
+
+    register(spark)
+    opts = {"n_events": "1200", "rows_per_batch": "400", "n_keys": "90",
+            "seed": "71", "evolve_from": "600"}
+
+    def cfg():
+        return PipelineConfig(
+            keys=["uid"], image_columns=dict(SIM_IMAGE_COLUMNS),
+            discover_columns=True,
+        )
+
+    table = _table(spark, tmp_path / "stream")
+    pipe = CDCPipeline(
+        spark, table, cfg(), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = pipe.run_stream(
+        None, source_format="cdc_kafka_sim", source_options=opts,
+        available_now=False, stream_transform=unwrap_wire_envelope(),
+    )
+    q.processAllAvailable()
+    q.stop()
+    applied = [m for m in pipe.metrics if not m.get("skipped")]
+    assert len(applied) >= 2  # the cutover landed in a LATER micro-batch
+    assert "lang" in pipe._image_columns  # discovery widened mid-stream
+
+    batch_table = _table(spark, tmp_path / "batch")
+    CDCPipeline(spark, batch_table, cfg()).apply_batch(
+        unwrap_wire_envelope()(simulated_wire_df(spark, opts)), batch_id=0
+    )
+    a = sorted(map(tuple, table.read().collect()))
+    b = sorted(map(tuple, batch_table.read().collect()))
+    assert a == b and a
+
+    langs = {r.lang for r in table.read().select("lang").distinct().collect()}
+    assert None in langs and len(langs) > 1  # pre-cutover NULLs + evolved rows
