@@ -133,8 +133,19 @@ class KeyedLakeTable:
             meta = json.load(fh)
         self.keys: list[str] = meta["keys"]
         self.key_schema: dict[str, str] = meta["key_schema"]
+        # creation-time layout; the CURRENT layout is the head commit's
+        # `n_buckets` (rebucket changes it) — `_current_commit` keeps the
+        # instance in sync, so a crash between commit and meta rewrite
+        # self-heals on the next commit read
+        self._meta_n_buckets: int = meta["n_buckets"]
         self.n_buckets: int = meta["n_buckets"]
         self.changelog: bool = bool(meta.get("changelog", False))
+        head = sorted(
+            f for f in os.listdir(os.path.join(root, "_commits"))
+            if f.endswith(".json")
+        ) if os.path.isdir(os.path.join(root, "_commits")) else []
+        if head:
+            self._current_commit()  # sync n_buckets with the head commit
 
     # ------------------------------------------------------------------ setup
 
@@ -179,7 +190,11 @@ class KeyedLakeTable:
     def _current_commit(self) -> dict:
         files = sorted(f for f in os.listdir(self._commit_dir()) if f.endswith(".json"))
         with open(os.path.join(self._commit_dir(), files[-1])) as fh:
-            return json.load(fh)
+            commit = json.load(fh)
+        # the head commit is the authority on the bucket layout (rebucket);
+        # commits written before the field existed fall back to creation meta
+        self.n_buckets = int(commit.get("n_buckets", self._meta_n_buckets))
+        return commit
 
     def _commit_at(self, version: int) -> dict:
         path = os.path.join(self._commit_dir(), f"v{version:012d}.json")
@@ -195,6 +210,7 @@ class KeyedLakeTable:
             "buckets": buckets,  # bucket id (str) -> data path
             "applied_batch_ids": applied,
             "payload_schema": payload_schema,  # col -> spark ddl type, ordered
+            "n_buckets": self.n_buckets,  # layout under which `buckets` ids hash
         }
         path = os.path.join(self._commit_dir(), f"v{version:012d}.json")
         tmp = path + ".tmp"
@@ -569,6 +585,86 @@ class KeyedLakeTable:
             commit["version"] + 1, None, {}, commit["applied_batch_ids"],
             commit["payload_schema"],
         )
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Change the table's bucket count — ONE full-table rewrite job.
+
+        The 100-TB growth path: the bucket count is chosen at creation for
+        the table's then-current size, and a table that grows 10× ends up
+        with buckets too large for a single merge task (or, shrunk, too
+        many tiny files).  Rebucketing rewrites every live row (tombstones
+        included — the out-of-order ordering guard survives the move) under
+        the new ``pmod(xxhash64(keys), n)`` layout as one new snapshot
+        version: an embarrassingly parallel job with exactly one shuffle
+        (the repartition to the new buckets), no fold, no join.  On Iceberg
+        this maps 1:1 to rewriting with a new ``bucket(n, keys)`` partition
+        transform.
+
+        Everything else carries forward unchanged: ``applied_batch_ids``
+        (idempotent replay still skips), payload schema, version history
+        (time-travel reads of pre-rebucket versions list their own data
+        dirs), and the change feed (a rebucket emits NO change version —
+        the state is identical, and feed readers already skip gap
+        versions).  Crash-safe: the new layout becomes visible only with
+        the commit write; the head commit carries ``n_buckets``, so every
+        reader/writer — including one constructed from stale ``_meta.json``
+        — syncs to the committed layout on its next commit read.
+
+        Single-writer, like ``merge``: do not rebucket concurrently with
+        an active merge on another driver.
+        """
+        commit = self._current_commit()
+        n_buckets = int(n_buckets)
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if n_buckets == self.n_buckets:
+            return {
+                "version": commit["version"],
+                "n_buckets": n_buckets,
+                "skipped": True,
+            }
+        version = commit["version"] + 1
+        out_dir = os.path.join(self.root, "data", f"v{version:012d}")
+        (
+            self.read(include_tombstones=True)
+            .withColumn(
+                BUCKET_COL,
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in self.keys]), n_buckets
+                ),
+            )
+            .repartition(n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        buckets = {
+            d.split("=", 1)[1]: os.path.join(out_dir, d)
+            for d in os.listdir(out_dir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        self.n_buckets = n_buckets
+        self._write_commit(
+            version, None, buckets, commit["applied_batch_ids"],
+            commit["payload_schema"],
+        )
+        # refresh creation meta (best-effort: the commit is the authority;
+        # a crash before this rewrite self-heals on the next commit read)
+        meta_path = os.path.join(self.root, "_meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["n_buckets"] = n_buckets
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+        self._meta_n_buckets = n_buckets
+        return {
+            "version": version,
+            "n_buckets": n_buckets,
+            "buckets_written": len(buckets),
+            "skipped": False,
+        }
 
     def compact_tombstones(self, older_than_seq: int) -> dict:
         """Drop tombstones whose delete seq predates the out-of-order horizon.

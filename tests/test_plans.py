@@ -131,19 +131,39 @@ def test_kafka_wire_decode_stays_jvm_side(spark):
 
 def test_new_jvm_contract_queries_are_python_free(spark):
     """The compiled decode variants must never regress to a Python round
-    trip: universal_decode_inferred, telemetry_tts_ttn_jvm,
-    corpus_curation, and the Mongo DIRECT decoder (its contract query now
-    runs BOTH paths, so the JVM half is plan-checked directly)."""
+    trip: universal_decode_inferred, corpus_curation, and the JVM halves of
+    the collapsed both-path queries (tts_ttn, sensor_community, Mongo
+    DIRECT) — their contract queries run BOTH paths in one union, so the
+    JVM half is plan-checked directly here."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in (
-        "universal_decode_inferred",
-        "telemetry_tts_ttn_jvm",
-        "corpus_curation",
-    ):
+    for name in ("universal_decode_inferred", "corpus_curation"):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+    from commons_codec_spark.functions.telemetry import (
+        decode_sensor_community_jvm,
+        decode_tts_ttn_jvm,
+    )
+
+    uplink = spark.createDataFrame(
+        [('{"end_device_ids":{"device_id":"dev-1"},"uplink_message":'
+          '{"decoded_payload":{"reading_cents":5},"settings":{"data_rate":'
+          '{"lora":{"bandwidth":125000,"spreading_factor":7}},"frequency":'
+          '"868100000"},"f_cnt":1,"rx_metadata":[{"gateway_ids":'
+          '{"gateway_id":"gw0"},"rssi":-40,"snr":5}]}}',)],
+        "payload string",
+    )
+    plan = _plan(decode_tts_ttn_jvm(uplink))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    sc = spark.createDataFrame(
+        [('{"sensordatavalues":[{"value_type":"P1","value":"7"}]}',)],
+        "payload string",
+    )
+    plan = _plan(decode_sensor_community_jvm(sc, "payload"))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
     from commons_codec_spark.functions.mongodb import compile_mongo_direct_decoder
 
