@@ -36,6 +36,25 @@ def _materialized(df: DataFrame, workdir: str) -> DataFrame:
     return out
 
 
+class _shuffle_partitions:
+    """Temporarily right-size ``spark.sql.shuffle.partitions`` for a
+    micro-batch-scale streaming job.  Streaming disables AQE, so a
+    contract-scale micro-batch (thousands of rows) would otherwise run
+    every fold/merge shuffle at the session's cluster-scale setting —
+    pure task-launch overhead.  Production tuning note: size this to the
+    micro-batch, not the table."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _drain(query) -> None:
     """Deterministic drain of the unbounded wire source: the reader's
     ``latestOffset`` advances per poll until the topic cap, so
@@ -47,9 +66,13 @@ def _drain(query) -> None:
                            "through the streaming path")
 
 
-# one topic-shape per query, fixed so the oracle regenerates bit-identically
-_REPLAY = dict(seed=42, tp=3, n_events=6000, n_keys=300, rows_per_batch=1200)
-_FANOUT = dict(seed=7, tp=3, n_events=6000, n_keys=300, rows_per_batch=2400,
+# one topic-shape per query, fixed so the oracle regenerates bit-identically.
+# rows_per_batch splits the topic into 2-3 micro-batches: enough to exercise
+# offset ranges (the guard below asserts >=2), few enough that the engine's
+# per-micro-batch lifecycle cost (checkpoint I/O, no AQE in streaming)
+# doesn't dominate the contract query's wall time
+_REPLAY = dict(seed=42, tp=3, n_events=6000, n_keys=300, rows_per_batch=3000)
+_FANOUT = dict(seed=7, tp=3, n_events=6000, n_keys=300, rows_per_batch=3000,
                n_tables=3)
 
 
@@ -81,13 +104,14 @@ def q_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["uid"], image_columns=SIM_IMAGE_COLUMNS, discover_columns=False
     )
     pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=f"{work}/ckpt")
-    query = pipe.run_stream(
-        None, source_format="cdc_kafka_sim",
-        source_options=_source_options(_REPLAY),
-        available_now=False,
-        stream_transform=unwrap_wire_envelope(),
-    )
-    _drain(query)
+    with _shuffle_partitions(spark, 8):
+        query = pipe.run_stream(
+            None, source_format="cdc_kafka_sim",
+            source_options=_source_options(_REPLAY),
+            available_now=False,
+            stream_transform=unwrap_wire_envelope(),
+        )
+        _drain(query)
     applied = [m for m in pipe.metrics if not m.get("skipped")]
     if len(applied) < 2:  # pragma: no cover — contract guard
         raise RuntimeError("wire topic arrived in one micro-batch — offset "
@@ -133,13 +157,14 @@ def q_kafka_fanout_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     with MultiTablePipeline(
         spark, targets, checkpoint_dir=f"{work}/ckpt"
     ) as pipe:
-        query = pipe.run_stream(
-            None, source_format="cdc_kafka_sim",
-            source_options=_source_options(_FANOUT),
-            available_now=False,
-            stream_transform=unwrap_wire_envelope(routed=True),
-        )
-        _drain(query)
+        with _shuffle_partitions(spark, 8):
+            query = pipe.run_stream(
+                None, source_format="cdc_kafka_sim",
+                source_options=_source_options(_FANOUT),
+                available_now=False,
+                stream_transform=unwrap_wire_envelope(routed=True),
+            )
+            _drain(query)
         if len(pipe.metrics) < 2:  # pragma: no cover — contract guard
             raise RuntimeError("wire topic arrived in one micro-batch — "
                                "offset ranges were not exercised")
