@@ -129,6 +129,30 @@ def test_kafka_wire_decode_stays_jvm_side(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_wire_unwrap_chain_stays_jvm_side(spark):
+    """The contract queries' wire path — unwrap_wire_envelope on the
+    stream, then the pipeline's DEFAULT compiled image decode — is pure
+    column expressions end-to-end (routed and unrouted): no Python
+    workers between the source rows and the fold."""
+    from commons_codec_spark.functions.dynamodb import compile_direct_decoder
+    from commons_codec_spark.sources.kafka_shaped import (
+        SIM_IMAGE_COLUMNS,
+        simulated_wire_df,
+        unwrap_wire_envelope,
+    )
+
+    for routed in (False, True):
+        opts = {"n_events": "300", "n_keys": "40", "seed": "3"}
+        if routed:
+            opts["n_tables"] = "3"
+        env = unwrap_wire_envelope(routed=routed)(
+            simulated_wire_df(spark, opts)
+        )
+        decoded = compile_direct_decoder(env, "image", SIM_IMAGE_COLUMNS)
+        plan = _plan(decoded)
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, routed
+
+
 def test_new_jvm_contract_queries_are_python_free(spark):
     """The compiled decode variants must never regress to a Python round
     trip: universal_decode_inferred, corpus_curation, and the JVM halves of
