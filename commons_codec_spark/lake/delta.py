@@ -108,6 +108,12 @@ class DeltaLakeTable:
         recorded by the idempotent writes."""
         raise ImportError("delta-spark not installed")
 
+    def is_applied(self, batch_id) -> bool:  # pragma: no cover
+        """``txnVersion <= latest stored txnVersion`` for this
+        ``txnAppId`` (Delta's idempotent-write watermark — monotonic
+        streaming epoch ids make the membership check one comparison)."""
+        raise ImportError("delta-spark not installed")
+
     def version(self) -> int:  # pragma: no cover
         raise ImportError("delta-spark not installed")
 

@@ -72,7 +72,16 @@ class LakeSink(Protocol):
         ...
 
     def applied_batch_ids(self) -> set:
-        """Batch ids already merged (exactly-once bookkeeping)."""
+        """Batch ids already merged (exactly-once bookkeeping).
+
+        Materializes the FULL set — diagnostics only; hot paths use
+        :meth:`is_applied`."""
+        ...
+
+    def is_applied(self, batch_id) -> bool:
+        """O(log n) exactly-once membership check (the per-micro-batch
+        guard).  Delta/Iceberg analog: compare against the stored
+        ``txnVersion`` watermark for this ``txnAppId``."""
         ...
 
     def version(self) -> int:

@@ -60,6 +60,83 @@ DELETED_COL = "__deleted"
 _MERGE_EXPR_CACHE: dict = {}
 
 
+# --------------------------------------------------------------- batch ids
+#
+# `applied_batch_ids` is interval-compressed in the commit: streaming epoch
+# ids are monotonic, so a year of micro-batches (10^6-10^7 commits) stays
+# ONE `[lo, hi]` interval instead of an O(n) list rewritten into every
+# commit (O(n^2) metadata I/O over the table's life — a real scale-killer
+# in the metadata path, invisible at test scale).  Encoding:
+# {"ranges": [[lo, hi], ...] sorted+disjoint, "other": [non-int ids]};
+# commits written before the change carry a plain list and are normalized
+# on read.  On Delta/Iceberg the analog is txnAppId/txnVersion watermarks.
+
+
+def _bid_normalize(enc) -> dict:
+    if isinstance(enc, dict):
+        return enc
+    out: dict = {"ranges": [], "other": []}
+    for b in enc:
+        if isinstance(b, int) and not isinstance(b, bool):
+            out["ranges"] = _bid_range_add(out["ranges"], b)
+        elif b not in out["other"]:
+            out["other"].append(b)
+    return out
+
+
+def _bid_range_add(ranges: list, b: int) -> list:
+    """Insert ``b`` into sorted disjoint ``[lo, hi]`` intervals (new list)."""
+    import bisect
+
+    i = bisect.bisect_right([r[0] for r in ranges], b) - 1
+    if i >= 0 and ranges[i][0] <= b <= ranges[i][1]:
+        return ranges  # already present
+    out = [list(r) for r in ranges]
+    joins_left = i >= 0 and out[i][1] == b - 1
+    joins_right = i + 1 < len(out) and out[i + 1][0] == b + 1
+    if joins_left and joins_right:
+        out[i][1] = out[i + 1][1]
+        del out[i + 1]
+    elif joins_left:
+        out[i][1] = b
+    elif joins_right:
+        out[i + 1][0] = b
+    else:
+        out.insert(i + 1, [b, b])
+    return out
+
+
+def _bid_contains(enc, batch_id) -> bool:
+    enc = _bid_normalize(enc)
+    if isinstance(batch_id, int) and not isinstance(batch_id, bool):
+        import bisect
+
+        ranges = enc["ranges"]
+        i = bisect.bisect_right([r[0] for r in ranges], batch_id) - 1
+        return i >= 0 and ranges[i][0] <= batch_id <= ranges[i][1]
+    return batch_id in enc["other"]
+
+
+def _bid_add(enc, batch_id) -> dict:
+    enc = _bid_normalize(enc)
+    if isinstance(batch_id, int) and not isinstance(batch_id, bool):
+        return {
+            "ranges": _bid_range_add(enc["ranges"], batch_id),
+            "other": enc["other"],
+        }
+    if batch_id in enc["other"]:
+        return enc
+    return {"ranges": enc["ranges"], "other": [*enc["other"], batch_id]}
+
+
+def _bid_set(enc) -> set:
+    enc = _bid_normalize(enc)
+    out: set = set(enc["other"])
+    for lo, hi in enc["ranges"]:
+        out.update(range(lo, hi + 1))
+    return out
+
+
 def _merge_exprs(keys, payload_items, batch_fields, current_fields, n_buckets):
     """(filter_cond, select_cols) for the merge join output.
 
@@ -208,7 +285,9 @@ class KeyedLakeTable:
             "version": version,
             "batch_id": batch_id,
             "buckets": buckets,  # bucket id (str) -> data path
-            "applied_batch_ids": applied,
+            # interval-compressed ({"ranges", "other"}); legacy lists from
+            # pre-compression commits converge to the new encoding here
+            "applied_batch_ids": _bid_normalize(applied),
             "payload_schema": payload_schema,  # col -> spark ddl type, ordered
             "n_buckets": self.n_buckets,  # layout under which `buckets` ids hash
         }
@@ -219,7 +298,17 @@ class KeyedLakeTable:
         os.replace(tmp, path)
 
     def applied_batch_ids(self) -> set:
-        return set(self._current_commit()["applied_batch_ids"])
+        """Materialized set of every applied batch id (diagnostics/tests).
+
+        O(total batches) — production callers on long-lived tables should
+        use :meth:`is_applied` instead, which is O(log intervals)."""
+        return _bid_set(self._current_commit()["applied_batch_ids"])
+
+    def is_applied(self, batch_id) -> bool:
+        """Exactly-once check without materializing the applied set."""
+        return _bid_contains(
+            self._current_commit()["applied_batch_ids"], batch_id
+        )
 
     def version(self) -> int:
         return self._current_commit()["version"]
@@ -310,7 +399,9 @@ class KeyedLakeTable:
         computing the fold twice.
         """
         commit = self._current_commit()
-        if batch_id is not None and batch_id in commit["applied_batch_ids"]:
+        if batch_id is not None and _bid_contains(
+            commit["applied_batch_ids"], batch_id
+        ):
             return {"skipped": True, "batch_id": batch_id, "version": commit["version"]}
 
         # --- additive schema evolution (applied only if the batch actually
@@ -444,8 +535,10 @@ class KeyedLakeTable:
                 buckets[str(b)] = bpath
             else:
                 buckets.pop(str(b), None)  # bucket emptied by deletes
-        applied = commit["applied_batch_ids"] + (
-            [batch_id] if batch_id is not None else []
+        applied = (
+            _bid_add(commit["applied_batch_ids"], batch_id)
+            if batch_id is not None
+            else commit["applied_batch_ids"]
         )
         self._write_commit(version, batch_id, buckets, applied, payload_schema)
         if staged_changes is not None and os.path.isdir(staged_changes):

@@ -214,7 +214,9 @@ class CDCPipeline:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> dict:
         t0 = time.time()
-        if batch_id in self.table.applied_batch_ids():
+        # is_applied, not `in applied_batch_ids()`: the latter materializes
+        # the full applied set every micro-batch — O(stream lifetime)
+        if self.table.is_applied(batch_id):
             return {"batch_id": batch_id, "skipped": True}
 
         if self.cfg.handle_control:
