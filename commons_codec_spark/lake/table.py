@@ -808,7 +808,20 @@ class KeyedLakeTable:
         return {"compacted_buckets": len(hit), "version": version}
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop data version dirs unreferenced by the last N snapshots."""
+        """Drop data version dirs AND commit files unreferenced by the
+        last N snapshots.
+
+        Commit retention is the metadata half of the story: without it
+        ``_commits/`` grows one file per version forever, and the head
+        lookup (``listdir`` per micro-batch) degrades linearly with stream
+        lifetime.  Retiring old commit JSONs bounds both; the time-travel
+        window becomes the last ``keep_last`` versions (reads of vacuumed
+        versions already raise "no snapshot ... vacuumed").  The head
+        commit carries everything cumulative (applied batch ids, schema,
+        layout), so retiring history loses no bookkeeping.  Delta/Iceberg
+        analog: log cleanup past ``delta.logRetentionDuration`` /
+        ``expire_snapshots``.
+        """
         commits = sorted(
             f for f in os.listdir(self._commit_dir()) if f.endswith(".json")
         )
@@ -821,6 +834,11 @@ class KeyedLakeTable:
         for version_dir in os.listdir(data_dir):
             if version_dir not in live:
                 shutil.rmtree(os.path.join(data_dir, version_dir), ignore_errors=True)
+        for name in commits[:-keep_last]:
+            try:
+                os.remove(os.path.join(self._commit_dir(), name))
+            except FileNotFoundError:
+                pass
 
     def vacuum_changes(self, keep_since_version: int) -> int:
         """CDF retention: drop change dirs of versions < keep_since_version.

@@ -155,3 +155,36 @@ def test_delta_skeleton_is_import_gated():
 
     with pytest.raises(ImportError, match="delta-spark"):
         DeltaLakeTable(None, "/tmp/x", keys=["k"])
+
+
+def test_vacuum_retires_old_commits_and_keeps_bookkeeping(spark, tmp_path):
+    """vacuum(keep_last=N) bounds the METADATA too: commit files older
+    than the last N are retired (the head lookup stays O(N) over the
+    stream's life), while everything cumulative — state, applied batch
+    ids, idempotence — survives, and merges continue normally after."""
+    import os
+
+    table = _table(spark, tmp_path)
+    for i in range(5):
+        table.merge(_net(spark, [(f"k{i}", i, i)]), batch_id=i)  # v1..v5
+    assert table.version() == 5
+
+    table.vacuum(keep_last=2)
+    commit_files = sorted(os.listdir(table._commit_dir()))
+    assert commit_files == ["v000000000004.json", "v000000000005.json"]
+    # head state + cumulative bookkeeping intact
+    assert {r.k for r in table.read().collect()} == {f"k{i}" for i in range(5)}
+    assert table.applied_batch_ids() == set(range(5))
+    # time travel inside the window works; outside it raises, not corrupts
+    assert {r.k for r in table.read(version=4).collect()} == {
+        f"k{i}" for i in range(4)
+    }
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read(version=2)
+
+    # merges (and idempotent skips) continue on the vacuumed table
+    assert table.merge(_net(spark, [("k9", 9, 9)]), batch_id=3)["skipped"]
+    table.merge(_net(spark, [("k9", 9, 9)]), batch_id=9)
+    assert {r.k for r in table.read().collect()} == {
+        f"k{i}" for i in range(5)
+    } | {"k9"}
