@@ -295,7 +295,24 @@ class KeyedLakeTable:
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
-        os.replace(tmp, path)
+        # atomic create-if-absent (link fails on an existing target): two
+        # writers racing the same next version must CONFLICT loudly, not
+        # last-writer-win — the loser's merge would silently vanish from
+        # history under a plain rename.  Delta/Iceberg analog: optimistic
+        # concurrency on the transaction log entry.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise RuntimeError(
+                f"commit conflict: snapshot v{version} already exists — "
+                "another writer committed concurrently; re-read the head "
+                "and retry (this lake is single-writer per table)"
+            ) from None
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
     def applied_batch_ids(self) -> set:
         """Materialized set of every applied batch id (diagnostics/tests).

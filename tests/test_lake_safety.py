@@ -188,3 +188,21 @@ def test_vacuum_retires_old_commits_and_keeps_bookkeeping(spark, tmp_path):
     assert {r.k for r in table.read().collect()} == {
         f"k{i}" for i in range(5)
     } | {"k9"}
+
+
+def test_concurrent_commit_conflicts_loudly(spark, tmp_path):
+    """Two writers racing the same next version must CONFLICT, not
+    last-writer-win: under a plain rename the loser's merge would
+    silently vanish from history (optimistic-concurrency guard on the
+    commit log entry)."""
+    table = _table(spark, tmp_path)
+    table.merge(_net(spark, [("a", 1, 1)]), batch_id=1)  # v1
+    # a second writer (fresh instance = separate driver) commits v2 first
+    other = KeyedLakeTable(spark, str(tmp_path / "tbl"))
+    other.merge(_net(spark, [("b", 2, 2)]), batch_id=2)  # v2
+    # our stale instance then tries to commit v2 too
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        table._write_commit(2, 3, {}, [1, 3], {})
+    # the winner's commit is untouched and the table still reads
+    assert other.version() == 2
+    assert {r.k for r in table.read().collect()} == {"a", "b"}
