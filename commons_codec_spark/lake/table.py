@@ -88,7 +88,7 @@ def _bid_range_add(ranges: list, b: int) -> list:
     """Insert ``b`` into sorted disjoint ``[lo, hi]`` intervals (new list)."""
     import bisect
 
-    i = bisect.bisect_right([r[0] for r in ranges], b) - 1
+    i = bisect.bisect_right(ranges, b, key=lambda r: r[0]) - 1
     if i >= 0 and ranges[i][0] <= b <= ranges[i][1]:
         return ranges  # already present
     out = [list(r) for r in ranges]
@@ -112,7 +112,10 @@ def _bid_contains(enc, batch_id) -> bool:
         import bisect
 
         ranges = enc["ranges"]
-        i = bisect.bisect_right([r[0] for r in ranges], batch_id) - 1
+        # bisect with key, not over a rebuilt key list: the rebuild would
+        # make the membership step O(intervals) and quietly void the
+        # O(log intervals) claim this encoding exists for
+        i = bisect.bisect_right(ranges, batch_id, key=lambda r: r[0]) - 1
         return i >= 0 and ranges[i][0] <= batch_id <= ranges[i][1]
     return batch_id in enc["other"]
 
@@ -217,11 +220,10 @@ class KeyedLakeTable:
         self._meta_n_buckets: int = meta["n_buckets"]
         self.n_buckets: int = meta["n_buckets"]
         self.changelog: bool = bool(meta.get("changelog", False))
-        head = sorted(
-            f for f in os.listdir(os.path.join(root, "_commits"))
-            if f.endswith(".json")
-        ) if os.path.isdir(os.path.join(root, "_commits")) else []
-        if head:
+        commits_dir = os.path.join(root, "_commits")
+        if os.path.isdir(commits_dir) and any(
+            f.endswith(".json") for f in os.listdir(commits_dir)
+        ):
             self._current_commit()  # sync n_buckets with the head commit
 
     # ------------------------------------------------------------------ setup
@@ -292,7 +294,10 @@ class KeyedLakeTable:
             "n_buckets": self.n_buckets,  # layout under which `buckets` ids hash
         }
         path = os.path.join(self._commit_dir(), f"v{version:012d}.json")
-        tmp = path + ".tmp"
+        # per-writer tmp name: with a SHARED tmp, the two-writer race this
+        # guard exists to catch could link the OTHER writer's (possibly
+        # torn) payload under our version and report success
+        tmp = f"{path}.{os.getpid()}-{id(self):x}.tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
         # atomic create-if-absent (link fails on an existing target): two
@@ -588,6 +593,21 @@ class KeyedLakeTable:
         can observe it before the commit publishes it via rename."""
         return os.path.join(self.root, "changes", f".staged-v{version:012d}")
 
+    def _clear_staged_changes(self, version: int) -> None:
+        """Discard a crashed, UNCOMMITTED merge's staged CDF dir at
+        ``version``.  Every non-merge writer that claims a version number
+        WITHOUT publishing changes (``rebucket``, ``drop_data``,
+        ``compact_tombstones``) must call this before committing:
+        otherwise the leftover ``.staged-v{version}`` would satisfy
+        ``_heal_staged_changes``'s ``v <= head`` test once the claimed
+        commit lands, and the feed would publish net rows the table never
+        applied (a tailing replica then diverges permanently).  The
+        crashed batch itself is safe to discard — exactly-once means its
+        source re-delivers it, and the retry restages at a later version.
+        """
+        if self.changelog:
+            shutil.rmtree(self._staged_changes_dir(version), ignore_errors=True)
+
     def _heal_staged_changes(self) -> None:
         """Complete a crashed publish: a staged CDF dir whose version is
         already committed but whose final dir is missing is renamed into
@@ -691,6 +711,7 @@ class KeyedLakeTable:
     def drop_data(self) -> None:
         """DROP TABLE analog (E7): next snapshot is empty; history retained."""
         commit = self._current_commit()
+        self._clear_staged_changes(commit["version"] + 1)
         self._write_commit(
             commit["version"] + 1, None, {}, commit["applied_batch_ids"],
             commit["payload_schema"],
@@ -734,6 +755,7 @@ class KeyedLakeTable:
                 "skipped": True,
             }
         version = commit["version"] + 1
+        self._clear_staged_changes(version)
         out_dir = os.path.join(self.root, "data", f"v{version:012d}")
         (
             self.read(include_tombstones=True)
@@ -799,6 +821,7 @@ class KeyedLakeTable:
         if not hit:
             return {"compacted_buckets": 0, "version": commit["version"]}
         version = commit["version"] + 1
+        self._clear_staged_changes(version)
         out_dir = os.path.join(self.root, "data", f"v{version:012d}")
         kept = (
             self.read(buckets=hit, include_tombstones=True)

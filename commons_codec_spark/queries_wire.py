@@ -72,8 +72,11 @@ def _drain(query) -> None:
 # per-micro-batch lifecycle cost (checkpoint I/O, no AQE in streaming)
 # doesn't dominate the contract query's wall time
 _REPLAY = dict(seed=42, tp=3, n_events=6000, n_keys=300, rows_per_batch=3000)
+# n_tables COPRIME to tp: keys are pinned to partitions (k % tp == p), so
+# n_tables == tp would make the route t{k % n} identical to the topic
+# partition and a route-by-partition bug would pass the oracle unnoticed
 _FANOUT = dict(seed=7, tp=3, n_events=6000, n_keys=300, rows_per_batch=3000,
-               n_tables=3)
+               n_tables=2)
 
 
 def _source_options(p: dict) -> dict:
@@ -128,8 +131,10 @@ def q_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kafka_fanout_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 × S1: ONE heterogeneous wire topic (route fields inside
     ``value``) fans out through ``MultiTablePipeline.run_stream`` into
-    three keyed lake tables — concurrent per-table merges, one set of
-    composite offsets, exactly-once across all sinks."""
+    multiple keyed lake tables — concurrent per-table merges, one set of
+    composite offsets, exactly-once across all sinks.  The table count is
+    coprime to the topic-partition count so routing is genuinely pinned
+    to the in-value route fields, not an artifact of partition layout."""
     from commons_codec_spark.sources.kafka_shaped import (
         SIM_IMAGE_COLUMNS,
         register,
@@ -153,7 +158,9 @@ def q_kafka_fanout_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
                            discover_columns=False),
         )
 
-    targets = {("public", f"t{i}"): mk(f"t{i}") for i in range(3)}
+    targets = {
+        ("public", f"t{i}"): mk(f"t{i}") for i in range(_FANOUT["n_tables"])
+    }
     with MultiTablePipeline(
         spark, targets, checkpoint_dir=f"{work}/ckpt"
     ) as pipe:
@@ -169,7 +176,7 @@ def q_kafka_fanout_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("wire topic arrived in one micro-batch — "
                                "offset ranges were not exercised")
         state = None
-        for i in range(3):
+        for i in range(_FANOUT["n_tables"]):
             t = targets[("public", f"t{i}")].table.read().select(
                 F.lit(f"t{i}").alias("tbl"),
                 F.col("uid").cast("long").alias("uid"),

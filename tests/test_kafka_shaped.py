@@ -181,8 +181,11 @@ def test_kafka_fanout_wire_resume(spark, tmp_path):
     )
 
     register(spark)
+    # n_tables coprime to topic_partitions: keys are pinned to partitions,
+    # so equal counts would make the route congruent with the partition and
+    # hide route-by-partition bugs from the state comparison
     opts = {"n_events": "2400", "rows_per_batch": "300", "n_keys": "120",
-            "seed": "57", "topic_partitions": "3", "n_tables": "3"}
+            "seed": "57", "topic_partitions": "3", "n_tables": "2"}
 
     def mk_targets(prefix):
         return {
@@ -191,7 +194,7 @@ def test_kafka_fanout_wire_resume(spark, tmp_path):
                 PipelineConfig(keys=["uid"], image_columns=SIM_IMAGE_COLUMNS,
                                discover_columns=False),
             )
-            for i in range(3)
+            for i in range(2)
         }
 
     # batch twin: same events, one apply, per-table expected state

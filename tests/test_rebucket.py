@@ -155,3 +155,41 @@ def test_rebucket_changelog_gap_replica_converges(spark, tmp_path):
     assert _rows(replica, include_tombstones=True) == _rows(
         src, include_tombstones=True
     )
+
+
+def test_rebucket_discards_crashed_staged_changes(spark, tmp_path):
+    """A merge that staged CDF rows and crashed BEFORE committing must not
+    leak those rows into the feed when a rebucket claims its version: the
+    stale staged dir is discarded, heal-on-read publishes nothing, and a
+    replica tailing the feed converges to the true state."""
+    import os
+
+    src = KeyedLakeTable.create(
+        spark, str(tmp_path / "src"), key_schema=KEY_SCHEMA, n_buckets=4,
+        changelog=True,
+    )
+    src.merge(_net(spark, [("insert", "r1", "p", "c", "v", 1)]), batch_id=0)
+    head = src.version()
+    # simulate the crash window: a staged dir for the NEXT version whose
+    # merge never committed (its net rows were never applied)
+    staged = src._staged_changes_dir(head + 1)
+    phantom = _net(spark, [("insert", "PHANTOM", "p", "c", "v", 99)])
+    phantom.write.mode("overwrite").parquet(staged)
+
+    gap = src.rebucket(8)["version"]
+    assert gap == head + 1
+    assert not os.path.isdir(staged)  # discarded, not left to be healed
+    src._heal_staged_changes()
+    assert not os.path.isdir(src._changes_dir(gap))  # nothing published
+
+    src.merge(_net(spark, [("insert", "r2", "p", "c", "v", 2)]), batch_id=1)
+    replica = KeyedLakeTable.create(
+        spark, str(tmp_path / "rep"), key_schema=KEY_SCHEMA, n_buckets=4
+    )
+    for v in range(1, src.version() + 1):
+        try:
+            replica.merge(src.read_changes(v, v).drop("_version"))
+        except ValueError:
+            continue
+    reps = {r.repo for r in replica.read().select("repo").collect()}
+    assert reps == {"r1", "r2"}  # no PHANTOM row reached the feed
