@@ -399,7 +399,10 @@ def main() -> None:
             "wall_samples_sec": {"sequential": seq_walls, "concurrent": con_walls},
         }
 
-    result["queries"] = timed_queries(spark)
+    # SPARK_GRAFT_QUERIES=0: skip the 50-query sweep (smoke runs of the
+    # headline/scaling machinery; the driver's full runs keep the default)
+    if os.environ.get("SPARK_GRAFT_QUERIES", "1") == "1":
+        result["queries"] = timed_queries(spark)
 
     # --- universal_decode watch (round-3 verdict #7): it read 5.01s vs
     # r2's 2.85s on unchanged code.  One clean interleaved re-measure vs
@@ -408,15 +411,16 @@ def main() -> None:
 
     qs = entrymod.queries()
     recheck = {n: [] for n in ("universal_decode", "universal_decode_inferred")
-               if n in qs}
+               if n in qs and os.environ.get("SPARK_GRAFT_QUERIES", "1") == "1"}
     for _ in range(3):
         for n, acc in recheck.items():
             t0 = time.time()
             qs[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             acc.append(round(time.time() - t0, 3))
-    result["decode_recheck"] = {
-        n: {"samples": v, "min": min(v)} for n, v in recheck.items()
-    }
+    if recheck:
+        result["decode_recheck"] = {
+            n: {"samples": v, "min": min(v)} for n, v in recheck.items()
+        }
     spark.stop()
 
     # --- scaling evidence: same input, N vs 4N cores (+8->32 for context).
@@ -426,7 +430,7 @@ def main() -> None:
     if SCALING:
         samples: dict = {SCALE_LOW: [], SCALE_HIGH: []}
         control: dict = {}
-        for i in range(int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))):
+        for i in range(int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))):
             for cpus in (SCALE_HIGH, SCALE_LOW):
                 s = session(cpus)
                 m = run_replay(s, log_dir, os.path.join(work, f"run-{cpus}-{i}"))
@@ -440,12 +444,29 @@ def main() -> None:
         s.stop()
         tps = {c: N_EVENTS / min(w) for c, w in samples.items()}
         eff = (tps[SCALE_HIGH] / tps[SCALE_LOW]) / (SCALE_HIGH / SCALE_LOW)
+        # Control-normalized efficiency: the low level (2 threads) is
+        # contention-immune on this shared VM while the high level absorbs
+        # ALL of the window's external load, so in a noisy window the raw
+        # ratio degrades for box reasons the same-window pure-CPU control
+        # also shows.  eff / control_eff (capped at 1) answers "how did the
+        # replay scale relative to what the box allowed compute-bound work
+        # that window" — the figure a real 4N-node cluster (4N× bandwidth)
+        # would reproduce.  Raw efficiency stays the headline gate figure.
+        ctrl_eff = (
+            (control[SCALE_LOW] / control[SCALE_HIGH])
+            / (SCALE_HIGH / SCALE_LOW)
+            if SCALE_LOW in control and SCALE_HIGH in control
+            else None
+        )
         result["scaling"] = {
             "cpus_low": SCALE_LOW,
             "cpus_high": SCALE_HIGH,
             "events_per_sec_low": round(tps[SCALE_LOW], 1),
             "events_per_sec_high": round(tps[SCALE_HIGH], 1),
             "efficiency": round(eff, 3),
+            "efficiency_vs_cpu_control": (
+                round(min(eff / ctrl_eff, 1.0), 3) if ctrl_eff else None
+            ),
             "wall_samples_sec": samples,
             "extra_pairs": {
                 f"{SCALE_HIGH}->{CPUS}": round(
@@ -503,6 +524,7 @@ def main() -> None:
         summary["scaling"] = {
             k: sc.get(k)
             for k in ("cpus_low", "cpus_high", "efficiency",
+                      "efficiency_vs_cpu_control",
                       "events_per_sec_low", "events_per_sec_high",
                       "extra_pairs", "cpu_control_eff")
         }

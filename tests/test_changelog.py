@@ -256,12 +256,19 @@ def test_cdf_version_invisible_until_commit(spark, tmp_path):
     assert published == ["v%012d" % 1]
     assert not [d for d in os.listdir(changes_root) if d.startswith(".staged")]
 
-    # 3. crash in the commit->rename window: heal on next merge
+    # 3. crash in the commit->rename window: heal on next merge.  The
+    # crashed merge COMMITTED its version (we write its commit directly,
+    # as merge would have) but died before the publish rename — heal must
+    # publish.  (A staged dir whose version is claimed by a NON-merge
+    # writer is the opposite case: discarded, pinned by
+    # test_rebucket_discards_crashed_staged_changes.)
     v2 = src._current_commit()["version"] + 1
     staged_dir = src._staged_changes_dir(v2)
     os.makedirs(staged_dir, exist_ok=True)
-    # fake "commit exists, rename missed": bump the commit by drop_data
-    src.drop_data()
+    c = src._current_commit()
+    src._write_commit(
+        v2, None, c["buckets"], c["applied_batch_ids"], c["payload_schema"]
+    )
     assert not os.path.isdir(src._changes_dir(v2))
     src._heal_staged_changes()
     assert os.path.isdir(src._changes_dir(v2))
