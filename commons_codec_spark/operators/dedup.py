@@ -177,6 +177,15 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     shallow (copies of copies), so 3-5 rounds is typical.  Each round
     ``localCheckpoint``s to cut lineage (iterative plans otherwise grow
     exponentially).  Raises if ``max_iters`` rounds don't converge.
+
+    Convergence probe: labels are POINTWISE MONOTONE non-increasing
+    (``new = min(own, neighbors)`` includes the node's own old label), so
+    an unchanged per-round ``sum(lbl)`` is EXACT proof of an unchanged
+    label vector — one tiny aggregation per round instead of the earlier
+    new-vs-old join + count (a second shuffle of the full label set per
+    round, at billions of nodes the dominant per-round cost).  Decimal
+    sum: ids can be 2^63-scale and ANSI mode would throw on a long-sum
+    overflow.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -190,6 +199,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
+
+    def label_sum(lbls: DataFrame):
+        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
@@ -200,16 +214,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select("id", F.col("lbl").alias("cluster_id"))
+        prev_sum = new_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
 
 

@@ -24,12 +24,16 @@ from commons_codec_spark.operators.cdc_fold import SET, fold_net_changes
 from commons_codec_spark.operators.lww import lww_latest
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # timestamp-derived results (unix_micros/millis, date_format) must agree
-    # with the UTC-naive DuckDB oracle even when the caller's session wasn't
-    # built by our get_spark — session TZ is a runtime conf, safe to pin here
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
+    # UTC pin + scan fan-out for the single-row-group testdata files —
+    # see commons_codec_spark.readers.  fan_out=False for queries whose
+    # first operator is an aggregation (map-side partial agg already
+    # collapses the rows; measured: the fan-out shuffle only adds cost).
+    from commons_codec_spark.readers import read_table
+
+    return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 # ---------------------------------------------------------------------------
@@ -52,7 +56,9 @@ def _derive_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic lineitem has duplicate (orderkey, linenumber) pairs — collapse
     # to one deterministic row per key first (independent maxes, SQL-mirrorable)
     li = (
-        _t(spark, sf_dir, "lineitem")
+        # groupBy first: partial agg collapses map-side — fan-out measured
+        # cost-neutral at best here (the groupBy shuffle dominates)
+        _t(spark, sf_dir, "lineitem", fan_out=False)
         .groupBy(
             F.col("l_orderkey").cast("long").alias("okey"),
             F.col("l_linenumber").cast("long").alias("lineno"),
@@ -225,7 +231,9 @@ FROM part
 
 def q_lww_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's one aggregation: latest row per key via max_by."""
-    ev = _t(spark, sf_dir, "events").select(
+    # aggregation-first: max_by partial-aggregates map-side; fan-out only
+    # adds a shuffle (measured 0.43s -> 0.92s)
+    ev = _t(spark, sf_dir, "events", fan_out=False).select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
     latest = lww_latest(ev, keys=["user_id"], order_cols=["ts", "event_id"])
@@ -251,7 +259,7 @@ FROM (
 
 def q_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result via the two-phase skew-salted reduce (must agree)."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", fan_out=False).select(
         "user_id", "event_type", "value", "ts", "event_id"
     )
     latest = lww_latest(
@@ -267,7 +275,7 @@ def q_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_json_reparse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 analog: JSON-in-string column re-parse, then aggregate."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)  # aggregation-first
     parsed = ev.withColumn(
         "k", F.from_json(F.col("props"), "struct<k:long>")["k"]
     )
@@ -288,7 +296,7 @@ GROUP BY event_type
 
 def q_envelope_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P5: validation split + awsdms_* routing over derived envelopes."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", fan_out=False)  # aggregation-only
     env = o.select(
         F.lit("insert").alias("operation"),
         F.when(F.pmod("o_orderkey", F.lit(97)) == 0, F.lit(""))

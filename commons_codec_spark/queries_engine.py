@@ -13,7 +13,6 @@ state in plain SQL over the shared testdata parquet.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -23,17 +22,26 @@ from commons_codec_spark.functions.mongodb import make_mongo_full_load_decoder
 from commons_codec_spark.functions.telemetry import decode_telemetry
 from commons_codec_spark.lake.table import KeyedLakeTable
 from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+from commons_codec_spark.tuning import workdir
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
+    # UTC pin + scan fan-out (single-row-group files scan as one task —
+    # see commons_codec_spark.readers).  The LIFECYCLE queries read with
+    # fan_out=False: their cost is engine machinery (a dozen small jobs
+    # per query), and each job re-executes the input DAG, so a fan-out
+    # shuffle would be re-paid per job for inputs of a few thousand rows.
+    from commons_codec_spark.readers import read_table
+
+    return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 
-def _materialized(df: DataFrame, workdir: str) -> DataFrame:
-    """Evaluate eagerly, then drop the throwaway lake under ``workdir``."""
+def _materialized(df: DataFrame, work: str) -> DataFrame:
+    """Evaluate eagerly, then drop the throwaway lake under ``work``."""
     out = df.localCheckpoint(eager=True)
-    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -54,7 +62,7 @@ _FL_IMG_COLUMNS = {"cid": "N", "name": "S", "acct_cents": "N"}
 def _full_load_workload(spark: SparkSession, sf_dir: str):
     """The S4 workload (bulk load + one CDC batch), shared by the direct
     query and the changelog-replica query — one oracle, two read paths."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer", fan_out=False)  # lifecycle query
     cid = F.col("c_custkey").cast("long")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
 
@@ -89,7 +97,7 @@ def _full_load_workload(spark: SparkSession, sf_dir: str):
 def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     full, cdc = _full_load_workload(spark, sf_dir)
 
-    work = tempfile.mkdtemp(prefix="ccs-flq-")
+    work = workdir("ccs-flq-")
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"cid": "double"}, n_buckets=8
     )
@@ -113,7 +121,7 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct query's oracle — deletes, upserts and all."""
     full, cdc = _full_load_workload(spark, sf_dir)
 
-    work = tempfile.mkdtemp(prefix="ccs-cdfq-")
+    work = workdir("ccs-cdfq-")
     src = KeyedLakeTable.create(
         spark, f"{work}/src", key_schema={"cid": "double"}, n_buckets=8,
         changelog=True,
@@ -167,7 +175,7 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     full, cdc = _full_load_workload(spark, sf_dir)
 
-    work = tempfile.mkdtemp(prefix="ccs-strq-")
+    work = workdir("ccs-strq-")
     # deterministic file source: 4 parquet files split by seq then key so
     # micro-batch boundaries are stable across runs
     cdc.repartition(4, F.col("commit_seq"), F.col("keys_json")).write.mode(
@@ -180,12 +188,17 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
     pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=f"{work}/ckpt")
     pipe.full_load(full, seq=0)
-    query = pipe.run_stream(
-        f"{work}/stream-src",
-        schema="op string, commit_seq long, keys_json string, image string",
-        max_files_per_trigger=2,
-    )
-    query.awaitTermination()
+    # micro-batches here are ~2k rows and streaming runs without AQE:
+    # right-size the shuffle like the wire queries (see tuning.py)
+    from commons_codec_spark.tuning import shuffle_partitions
+
+    with shuffle_partitions(spark, 8):
+        query = pipe.run_stream(
+            f"{work}/stream-src",
+            schema="op string, commit_seq long, keys_json string, image string",
+            max_files_per_trigger=2,
+        )
+        query.awaitTermination()
     if query.lastProgress is None:  # pragma: no cover — contract guard
         raise RuntimeError("stream made no progress — result did not flow "
                            "through the streaming path")
@@ -208,7 +221,7 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_control_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = _t(spark, sf_dir, "supplier")
+    sup = _t(spark, sf_dir, "supplier", fan_out=False)  # lifecycle query
     sk = F.col("s_suppkey").cast("long")
     drop_seq = int(sup.agg(F.max(sk)).first()[0])
 
@@ -226,7 +239,7 @@ def q_control_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = data.unionAll(ctrl)
 
-    work = tempfile.mkdtemp(prefix="ccs-dropq-")
+    work = workdir("ccs-dropq-")
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"sk": "double"}, n_buckets=8
     )
@@ -254,7 +267,7 @@ WHERE 2 * s_suppkey >= (SELECT MAX(s_suppkey) FROM supplier)
 
 
 def q_mongo_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer", fan_out=False)  # lifecycle query
     cid = F.col("c_custkey").cast("long")
     oid = F.substring(F.md5(cid.cast("string")), 1, 24)
     doc = F.format_string(
@@ -265,7 +278,7 @@ def q_mongo_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = cust.select(doc.alias("document"))
 
-    work = tempfile.mkdtemp(prefix="ccs-mflq-")
+    work = workdir("ccs-mflq-")
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"oid": "string"}, n_buckets=8
     )
@@ -410,9 +423,9 @@ def _fanout_workload(spark: SparkSession, sf_dir: str, work: str):
         TableTarget,
     )
 
-    cust = _t(spark, sf_dir, "customer")
-    sup = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer", fan_out=False)  # lifecycle query
+    sup = _t(spark, sf_dir, "supplier", fan_out=False)
+    nat = _t(spark, sf_dir, "nation", fan_out=False)
     cid = F.col("c_custkey").cast("long")
     sk = F.col("s_suppkey").cast("long")
     nk = F.col("n_nationkey").cast("long")
@@ -501,7 +514,7 @@ def _fanout_state(targets) -> DataFrame:
 def q_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commons_codec_spark.streaming.fanout import MultiTablePipeline
 
-    work = tempfile.mkdtemp(prefix="ccs-fanq-")
+    work = workdir("ccs-fanq-")
     batch, targets = _fanout_workload(spark, sf_dir, work)
     pipe = MultiTablePipeline(spark, targets)
     pipe.apply_batch(batch, batch_id=1)
@@ -524,7 +537,7 @@ def q_fanout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import time
 
-    work = tempfile.mkdtemp(prefix="ccs-fansq-")
+    work = workdir("ccs-fansq-")
     batch, targets = _fanout_workload(spark, sf_dir, work)
     # COMMIT-ORDER transport: a real CDC stream delivers batches in commit
     # order, and the reference's update-on-absent is a no-op (SQL UPDATE of
@@ -544,13 +557,17 @@ def q_fanout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(p, (base + i, base + i))
 
     pipe = MultiTablePipeline(spark, targets, checkpoint_dir=f"{work}/ckpt")
-    query = pipe.run_stream(
-        f"{work}/stream-src",
-        schema=("op string, commit_seq long, schema_name string,"
-                " table_name string, keys_json string, image string"),
-        max_files_per_trigger=2,
-    )
-    query.awaitTermination()
+    # micro-batch-scale streaming without AQE — right-size the shuffle
+    from commons_codec_spark.tuning import shuffle_partitions
+
+    with shuffle_partitions(spark, 8):
+        query = pipe.run_stream(
+            f"{work}/stream-src",
+            schema=("op string, commit_seq long, schema_name string,"
+                    " table_name string, keys_json string, image string"),
+            max_files_per_trigger=2,
+        )
+        query.awaitTermination()
     if query.lastProgress is None:  # pragma: no cover — contract guard
         raise RuntimeError("stream made no progress — result did not flow "
                            "through the streaming path")

@@ -26,10 +26,16 @@ from commons_codec_spark.functions.telemetry import (
 from commons_codec_spark.operators import multimodal, similarity, text
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # pin UTC: the driver's session may not be ours (see queries.py)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
+    # UTC pin + scan fan-out (single-row-group files scan as one task —
+    # see commons_codec_spark.readers).  fan_out=False where the first
+    # operator aggregates (map-side partial agg) or per-row work is
+    # trivial — measured: the fan-out shuffle is pure cost there.
+    from commons_codec_spark.readers import read_table
+
+    return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 # ---------------------------------------------------------------------------
@@ -589,7 +595,7 @@ _DMS_TYPES = ["INT8", "INT16", "INT32", "INT64", "STRING", "NUMERIC", "CLOB"]
 
 
 def q_dms_control_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "supplier")
+    s = _t(spark, sf_dir, "supplier", fan_out=False)  # 1k rows, trivial ops
     k = F.col("s_suppkey").cast("long")
     idx = (k % 7 + 1).cast("int")
     table = (
@@ -640,7 +646,8 @@ FROM base
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commons_codec_spark.operators import sessions
 
-    ev = _t(spark, sf_dir, "events")
+    # window+agg-first: fan-out measured 0.81s -> 1.40s (pure cost)
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     out = sessions.session_stats(
         ev, ["user_id"], ts_col="ts", gap_sec=600, tiebreak_col="event_id"
     )
@@ -729,7 +736,9 @@ SELECT doc_id, unnest(fingerprints) AS fingerprint FROM fp
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # sha256 stub codec is ~2us/row: single-task scan beats 32 Python
+    # worker handshakes at this corpus size (measured 0.41s vs 0.52s)
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     feats = multimodal.extract_features(media, dim=8, media_col="media")
     # scalar rows for the driver canonicalizer; ×1024 is exact on the
@@ -756,7 +765,7 @@ FROM j
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)  # see q_multimodal_features
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     resized = multimodal.resize_images(media, width=64, height=48)
     return resized.select(
@@ -766,7 +775,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)  # see q_multimodal_features
     media = d.select(
         "doc_id",
         F.col("text").cast("binary").alias("media"),

@@ -16,18 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 from commons_codec_spark.operators import dedup, similarity, text
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, fan_out: bool = True) -> DataFrame:
+    # scan fan-out for the single-row-group testdata files — see readers.py;
+    # fan_out=False for aggregation-first queries (partial agg collapses
+    # map-side; the fan-out shuffle measured as pure cost there)
+    from commons_codec_spark.readers import read_table
+
+    return read_table(spark, sf_dir, "documents", fan_out=fan_out)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from commons_codec_spark.readers import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
 
 
-def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _augmented_docs(
+    spark: SparkSession, sf_dir: str, fan_out: bool = True
+) -> DataFrame:
     """documents + exact copies (id%50==0, +1M) + near copies (id%25==0, +2M,
-    one appended token)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    one appended token).  Fan-out happens ONCE on the union (one shuffle),
+    not per branch — see readers.py."""
+    d = _docs(spark, sf_dir, fan_out=False).select("doc_id", "text")
     exact = d.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
     )
@@ -35,7 +45,12 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzznearmarker")).alias("text"),
     )
-    return d.unionAll(exact).unionAll(near)
+    aug = d.unionAll(exact).unionAll(near)
+    if fan_out:
+        from commons_codec_spark.readers import ensure_parallel
+
+        aug = ensure_parallel(spark, aug, key=f"aug-docs:{sf_dir}")
+    return aug
 
 
 _SQL_AUGMENTED = """
@@ -56,7 +71,9 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _augmented_docs(spark, sf_dir)
+    # window-over-fingerprint is the first shuffle; fan-out measured as
+    # pure cost for this cheap per-row hash
+    aug = _augmented_docs(spark, sf_dir, fan_out=False)
     return dedup.exact_dedup_flags(aug, "doc_id", "text").select(
         "doc_id", "content_md5", "is_dup"
     )
@@ -378,9 +395,9 @@ def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     level must match the oracle's identical window arithmetic."""
     from commons_codec_spark.operators.packing import pack_next_fit
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, fan_out=False).select(
         "doc_id", F.col("n_chars").cast("long").alias("sz")
-    )
+    )  # window-first over 2 narrow columns: nothing to fan out
     packed = pack_next_fit(
         d, "doc_id", "sz", budget=4000, shard_expr=F.pmod(F.col("doc_id"), F.lit(8))
     )
@@ -465,7 +482,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the corpus's own unigram LM (the CCNet-style perplexity-filter
     signal).  Term-frequency shuffle + token→frequency join + doc agg —
     see operators/text.py: unigram_logprob for the 100-TB shape."""
-    return text.unigram_logprob(_docs(spark, sf_dir))
+    # explode+agg: partial-agg-first — fan-out measured as pure cost
+    return text.unigram_logprob(_docs(spark, sf_dir, fan_out=False))
 
 
 SQL_UNIGRAM_LOGPROB = f"""
@@ -485,7 +503,7 @@ GROUP BY doc_id
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequent 3-grams (boilerplate detection before dedup)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan_out=False)  # explode+agg: partial-agg-first
     out = text.top_ngrams(d, "text", n=3, k=20, id_col="doc_id")
     return out.select(
         F.col("rank").cast("int").alias("rank"),
@@ -611,7 +629,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size and a raised fraction is a superset."""
     from commons_codec_spark.operators.sampling import stratified_sample
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, fan_out=False)  # filter+agg only
     out = stratified_sample(
         d, "doc_id", "source", {"src0": 1.0, "src1": 0.2},
         default_fraction=0.05, seed=7,

@@ -21,38 +21,20 @@ transport, decode, fold, or merge hash-mismatches.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from commons_codec_spark.lake.table import KeyedLakeTable
 from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+from commons_codec_spark.tuning import workdir
+from commons_codec_spark.tuning import shuffle_partitions as _shuffle_partitions
 
 
-def _materialized(df: DataFrame, workdir: str) -> DataFrame:
+def _materialized(df: DataFrame, work: str) -> DataFrame:
     out = df.localCheckpoint(eager=True)
-    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
     return out
-
-
-class _shuffle_partitions:
-    """Temporarily right-size ``spark.sql.shuffle.partitions`` for a
-    micro-batch-scale streaming job.  Streaming disables AQE, so a
-    contract-scale micro-batch (thousands of rows) would otherwise run
-    every fold/merge shuffle at the session's cluster-scale setting —
-    pure task-launch overhead.  Production tuning note: size this to the
-    micro-batch, not the table."""
-
-    def __init__(self, spark: SparkSession, n: int):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def _drain(query) -> None:
@@ -99,7 +81,7 @@ def q_kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register(spark)
-    work = tempfile.mkdtemp(prefix="ccs-kwq-")
+    work = workdir("ccs-kwq-")
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"uid": "double"}, n_buckets=8
     )
@@ -146,7 +128,7 @@ def q_kafka_fanout_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register(spark)
-    work = tempfile.mkdtemp(prefix="ccs-kfq-")
+    work = workdir("ccs-kfq-")
 
     def mk(name):
         return TableTarget(

@@ -205,6 +205,20 @@ def test_dedup_clusters_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_deep_chain_sum_probe(spark):
+    """The monotone-sum convergence probe must not stop early: a long
+    chain needs one round per hop for the min label to propagate, and
+    every intermediate round changes the label sum (labels are pointwise
+    non-increasing, so sum-unchanged <=> vector-unchanged — exact).
+    Also pins the large-id regime: the probe sums as decimal, so 2^62-
+    scale labels must neither overflow (ANSI would throw) nor collide."""
+    big = 1 << 62
+    chain = [(big + i, big + i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    out = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {big + i: big for i in range(13)}
+
+
 def test_top_ngrams(spark):
     rows = [
         (1, "the cat sat on the mat"),
