@@ -229,18 +229,54 @@ class CDCPipeline:
                 # between control events, applying the DDL at its position.
                 # Re-running after a crash converges (segment merges are
                 # idempotent under the ordering guard; DDL is idempotent).
+                #
+                # Doomed-segment elision: a segment whose merge a LATER
+                # in-batch drop-table wipes contributes nothing to the
+                # final state — skip the merge, keep the DDL application
+                # order (registry effects still land at their position).
+                # "Don't compute what you throw away" at batch scale: a
+                # drop arriving mid-way through a 10M-event batch saves
+                # that many rows' fold+merge.  Disabled for changelog
+                # tables: their CDF feed records every merge's net rows,
+                # and a tailing replica must still see the pre-drop
+                # versions (drop itself emits no change version).
                 data = batch.filter(~F.col("op").isin(*self._CONTROL_OPS))
                 seq = F.col(self.cfg.seq_col)
+
+                def _wipes(row) -> bool:
+                    if row["op"] != "drop-table":
+                        return False
+                    schema = (row["schema_name"] if "schema_name" in row.__fields__
+                              else self.cfg.schema_name)
+                    table = (row["table_name"] if "table_name" in row.__fields__
+                             else self.cfg.table_name)
+                    return not self.registry.get(schema, table).ignore_ddl
+
+                elide = not getattr(self.table, "changelog", False)
+                # doomed[i]: some control at position >= i wipes the table
+                doomed = [False] * len(ctrl)
+                wiped_later = False
+                for i in range(len(ctrl) - 1, -1, -1):
+                    wiped_later = wiped_later or _wipes(ctrl[i])
+                    doomed[i] = wiped_later
                 lo = None
                 out: dict = {"batch_id": batch_id, "segments": len(ctrl) + 1}
+                skipped_segments = 0
                 for i, c in enumerate(ctrl):
                     hi = c[self.cfg.seq_col]
-                    seg = data.filter(seq < hi if lo is None else (seq >= lo) & (seq < hi))
-                    self._apply_data_batch(seg, batch_id=None)
+                    if elide and doomed[i]:
+                        skipped_segments += 1
+                    else:
+                        seg = data.filter(
+                            seq < hi if lo is None else (seq >= lo) & (seq < hi)
+                        )
+                        self._apply_data_batch(seg, batch_id=None)
                     self._apply_control(c)
                     lo = hi
                 tail = data.filter(seq >= lo)
                 out.update(self._apply_data_batch(tail, batch_id=batch_id))
+                if skipped_segments:
+                    out["skipped_doomed_segments"] = skipped_segments
                 out["wall_sec"] = round(time.time() - t0, 3)
                 self.metrics.append(out)
                 self._emit_metrics(out)

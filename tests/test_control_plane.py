@@ -77,6 +77,38 @@ def test_drop_table_resets_without_ignore_ddl(spark, tmp_path):
     assert {r.k for r in table.read().collect()} == {"b"}
 
 
+def test_doomed_segment_elision_and_changelog_exception(spark, tmp_path):
+    """A segment whose merge a LATER in-batch drop-table wipes is skipped
+    (don't compute what you throw away) — but NOT on a changelog table,
+    whose CDF feed must still record the pre-drop merges."""
+    rows = [
+        ("insert", 1, '{"k":{"S":"a"}}', '{"k":{"S":"a"},"v":{"N":"1"}}'),
+        ("drop-table", 2, None, None),
+        ("insert", 3, '{"k":{"S":"b"}}', '{"k":{"S":"b"},"v":{"N":"2"}}'),
+    ]
+    cfg = PipelineConfig(
+        keys=["k"], image_columns={"k": "S", "v": "N"}, handle_control=True
+    )
+
+    plain = _table(spark, tmp_path)
+    pipe = CDCPipeline(spark, plain, cfg)
+    m = pipe.apply_batch(_batch(spark, rows), batch_id=1)
+    assert m["skipped_doomed_segments"] == 1
+    assert {r.k for r in plain.read().collect()} == {"b"}
+
+    clog = KeyedLakeTable.create(
+        spark, str(tmp_path / "clog"), key_schema={"k": "string"},
+        n_buckets=4, changelog=True,
+    )
+    pipe2 = CDCPipeline(spark, clog, cfg)
+    m2 = pipe2.apply_batch(_batch(spark, rows), batch_id=1)
+    assert "skipped_doomed_segments" not in m2
+    assert {r.k for r in clog.read().collect()} == {"b"}
+    # the pre-drop segment's net rows ARE in the feed (version 1)
+    feed = clog.read_changes(1, clog.version()).collect()
+    assert any(r.k == "a" for r in feed)
+
+
 def test_create_table_column_types_drive_reparse(spark, tmp_path):
     """A create-table control event carrying MAP annotations makes the
     pipeline re-parse the JSON-in-string column for subsequent data (D8)."""
