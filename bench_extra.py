@@ -64,7 +64,8 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             walls.append(round(time.time() - t0, 3))
-        out["queries"][name] = {"samples": walls, "min": min(walls)}
+        if walls:
+            out["queries"][name] = {"samples": walls, "min": min(walls)}
         print(f"{name}: {walls}", flush=True)
     spark.sparkContext.setJobDescription(None)
     with open(args.out, "w") as fh:
