@@ -36,6 +36,9 @@ def main() -> None:
 
     name, _, vals = args.env.partition("=")
     variants = vals.split("::")
+    if len(set(variants)) != len(variants):
+        raise SystemExit("duplicate variant values would pool their samples")
+    prior = os.environ.get(name)
 
     import __spark_entry__ as entrymod
     from commons_codec_spark.session import get_spark
@@ -57,7 +60,11 @@ def main() -> None:
                 t0 = time.time()
                 qs[q](spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 walls[q][v].append(round(time.time() - t0, 3))
-    os.environ.pop(name, None)
+    # restore, don't clear: the caller's shell may have exported a value
+    if prior is None:
+        os.environ.pop(name, None)
+    else:
+        os.environ[name] = prior
     report = {}
     for q in names:
         report[q] = {

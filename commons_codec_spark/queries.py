@@ -22,6 +22,7 @@ from commons_codec_spark.functions.dynamodb import (
 )
 from commons_codec_spark.operators.cdc_fold import SET, fold_net_changes
 from commons_codec_spark.operators.lww import lww_latest
+from commons_codec_spark.readers import read_table
 
 
 def _t(
@@ -31,8 +32,6 @@ def _t(
     # see commons_codec_spark.readers.  fan_out=False for queries whose
     # first operator is an aggregation (map-side partial agg already
     # collapses the rows; measured: the fan-out shuffle only adds cost).
-    from commons_codec_spark.readers import read_table
-
     return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 

@@ -22,6 +22,7 @@ from commons_codec_spark.functions.mongodb import make_mongo_full_load_decoder
 from commons_codec_spark.functions.telemetry import decode_telemetry
 from commons_codec_spark.lake.table import KeyedLakeTable
 from commons_codec_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+from commons_codec_spark.readers import read_table
 from commons_codec_spark.tuning import workdir
 
 
@@ -33,8 +34,6 @@ def _t(
     # fan_out=False: their cost is engine machinery (a dozen small jobs
     # per query), and each job re-executes the input DAG, so a fan-out
     # shuffle would be re-paid per job for inputs of a few thousand rows.
-    from commons_codec_spark.readers import read_table
-
     return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 

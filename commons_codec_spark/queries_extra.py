@@ -24,6 +24,7 @@ from commons_codec_spark.functions.telemetry import (
     readings_to_columns,
 )
 from commons_codec_spark.operators import multimodal, similarity, text
+from commons_codec_spark.readers import read_table
 
 
 def _t(
@@ -33,8 +34,6 @@ def _t(
     # see commons_codec_spark.readers).  fan_out=False where the first
     # operator aggregates (map-side partial agg) or per-row work is
     # trivial — measured: the fan-out shuffle is pure cost there.
-    from commons_codec_spark.readers import read_table
-
     return read_table(spark, sf_dir, name, fan_out=fan_out)
 
 

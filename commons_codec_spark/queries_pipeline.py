@@ -14,20 +14,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from commons_codec_spark.operators import dedup, similarity, text
+from commons_codec_spark.readers import ensure_parallel, read_table
 
 
 def _docs(spark: SparkSession, sf_dir: str, fan_out: bool = True) -> DataFrame:
     # scan fan-out for the single-row-group testdata files — see readers.py;
     # fan_out=False for aggregation-first queries (partial agg collapses
     # map-side; the fan-out shuffle measured as pure cost there)
-    from commons_codec_spark.readers import read_table
-
     return read_table(spark, sf_dir, "documents", fan_out=fan_out)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from commons_codec_spark.readers import read_table
-
     return read_table(spark, sf_dir, "embeddings")
 
 
@@ -47,8 +44,6 @@ def _augmented_docs(
     )
     aug = d.unionAll(exact).unionAll(near)
     if fan_out:
-        from commons_codec_spark.readers import ensure_parallel
-
         aug = ensure_parallel(spark, aug, key=f"aug-docs:{sf_dir}")
     return aug
 

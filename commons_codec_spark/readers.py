@@ -30,58 +30,34 @@ from pyspark.sql import DataFrame, SparkSession
 _SCAN_PARTS: dict = {}
 
 
-def scan_partitions(spark: SparkSession, df: DataFrame, path: str) -> int:
-    key = (spark.sparkContext.applicationId, path)
-    n = _SCAN_PARTS.get(key)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        _SCAN_PARTS[key] = n
-    return n
-
-
 def core_wave(spark: SparkSession) -> int:
     """One wave of tasks = the session's core count.
 
     ``defaultParallelism`` follows ``spark.default.parallelism``, which our
     session sets to 3× cores for SHUFFLE sizing; the scan fan-out wants one
     wave, not three — more partitions only multiply per-task overhead for
-    a map-only stage that is already load-balanced by round-robin.
+    a map-only stage that is already load-balanced by round-robin.  On a
+    non-local master, ``defaultParallelism`` IS the cluster's total core
+    count (the one-wave answer).
     """
     master = spark.sparkContext.master or ""
     if master.startswith("local["):
         n = master[len("local["):-1]
-        if n != "*":
-            try:
-                return max(int(n), 1)
-            except ValueError:
-                pass
+        if n == "*":
+            return os.cpu_count() or spark.sparkContext.defaultParallelism
+        try:
+            return max(int(n), 1)
+        except ValueError:
+            pass
     return spark.sparkContext.defaultParallelism
 
 
-def read_parquet_parallel(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` + fan-out when the scan is under-parallel.
-
-    SPARK_GRAFT_SCAN_FANOUT: "0" disables (plain scan), an integer pins
-    the target partition count; default = one core wave.
-    """
-    df = spark.read.parquet(path)
-    knob = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "")
-    if knob == "0":
-        return df
-    target = int(knob) if knob.isdigit() else core_wave(spark)
-    try:
-        n = scan_partitions(spark, df, path)
-    except Exception:  # noqa: BLE001 — planning failed; use the plain scan
-        return df
-    if n < target:
-        return df.repartition(target)
-    return df
-
-
 def ensure_parallel(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
-    """Fan a derived DataFrame out to one core wave when its planned
-    partition count is lower — e.g. a union of small scans, fanned once
-    instead of per branch.  ``key`` memoizes the planned count."""
+    """Fan a DataFrame out to one core wave when its planned partition
+    count is lower (e.g. a single-row-group scan, or a union of small
+    scans fanned once instead of per branch).  ``key`` memoizes the
+    planned count per session.  SPARK_GRAFT_SCAN_FANOUT: "0" disables,
+    an integer pins the target; default = one core wave."""
     knob = os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "")
     if knob == "0":
         return df
@@ -91,12 +67,17 @@ def ensure_parallel(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     if n is None:
         try:
             n = df.rdd.getNumPartitions()
-        except Exception:  # noqa: BLE001
+        except Exception:  # noqa: BLE001 — planning failed; skip the fan-out
             return df
         _SCAN_PARTS[memo_key] = n
     if n < target:
         return df.repartition(target)
     return df
+
+
+def read_parquet_parallel(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` + fan-out when the scan is under-parallel."""
+    return ensure_parallel(spark, spark.read.parquet(path), key=path)
 
 
 def read_table(

@@ -237,9 +237,17 @@ class CDCPipeline:
                 # "Don't compute what you throw away" at batch scale: a
                 # drop arriving mid-way through a 10M-event batch saves
                 # that many rows' fold+merge.  Disabled for changelog
-                # tables: their CDF feed records every merge's net rows,
+                # tables (their CDF feed records every merge's net rows,
                 # and a tailing replica must still see the pre-drop
-                # versions (drop itself emits no change version).
+                # versions — drop itself emits no change version) and for
+                # dlq_dir pipelines (the segment's poison rows land in
+                # the dead-letter output, an audit channel the drop was
+                # never meant to erase).  Elided segments still run
+                # schema DISCOVERY: an additive column learned from a
+                # pre-drop image survives the drop in the decode schema
+                # (drop resets the snapshot, not the pipeline's evolved
+                # image_columns), so the post-drop state must widen
+                # identically with or without the elision.
                 data = batch.filter(~F.col("op").isin(*self._CONTROL_OPS))
                 seq = F.col(self.cfg.seq_col)
 
@@ -252,7 +260,10 @@ class CDCPipeline:
                              else self.cfg.table_name)
                     return not self.registry.get(schema, table).ignore_ddl
 
-                elide = not getattr(self.table, "changelog", False)
+                elide = (
+                    not getattr(self.table, "changelog", False)
+                    and not self.cfg.dlq_dir
+                )
                 # doomed[i]: some control at position >= i wipes the table
                 doomed = [False] * len(ctrl)
                 wiped_later = False
@@ -264,12 +275,14 @@ class CDCPipeline:
                 skipped_segments = 0
                 for i, c in enumerate(ctrl):
                     hi = c[self.cfg.seq_col]
+                    seg = data.filter(
+                        seq < hi if lo is None else (seq >= lo) & (seq < hi)
+                    )
                     if elide and doomed[i]:
                         skipped_segments += 1
+                        if self.cfg.decoder is None:
+                            self._discover_columns(seg)
                     else:
-                        seg = data.filter(
-                            seq < hi if lo is None else (seq >= lo) & (seq < hi)
-                        )
                         self._apply_data_batch(seg, batch_id=None)
                     self._apply_control(c)
                     lo = hi

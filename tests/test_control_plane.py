@@ -109,6 +109,50 @@ def test_doomed_segment_elision_and_changelog_exception(spark, tmp_path):
     assert any(r.k == "a" for r in feed)
 
 
+def test_doomed_segment_keeps_discovery_and_dlq(spark, tmp_path):
+    """Elision must not change anything BUT the wiped merge: (a) a new
+    payload column discovered from a doomed segment's images still widens
+    the decode schema (the evolved image_columns survive the drop, so the
+    post-drop state must carry the all-null column exactly as without
+    elision); (b) a dlq_dir pipeline does not elide at all — the doomed
+    segment's poison rows are audit output the drop does not erase."""
+    rows_discovery = [
+        ("insert", 1, '{"k":{"S":"a"}}',
+         '{"k":{"S":"a"},"v":{"N":"1"},"extra":{"S":"seen"}}'),
+        ("drop-table", 2, None, None),
+        ("insert", 3, '{"k":{"S":"b"}}', '{"k":{"S":"b"},"v":{"N":"2"}}'),
+    ]
+    cfg = PipelineConfig(
+        keys=["k"], image_columns={"k": "S", "v": "N"}, handle_control=True
+    )
+    t1 = _table(spark, tmp_path)
+    pipe = CDCPipeline(spark, t1, cfg)
+    m = pipe.apply_batch(_batch(spark, rows_discovery), batch_id=1)
+    assert m["skipped_doomed_segments"] == 1
+    out = t1.read().collect()
+    assert {r.k for r in out} == {"b"}
+    assert "extra" in t1.read().columns and out[0].extra is None
+
+    rows_dlq = [
+        # null-decoding key -> DLQ row inside the doomed segment
+        ("insert", 1, '{"k":{"S":"a"}}', '{"nokey":{"S":"x"}}'),
+        ("drop-table", 2, None, None),
+        ("insert", 3, '{"k":{"S":"b"}}', '{"k":{"S":"b"},"v":{"N":"2"}}'),
+    ]
+    t2 = KeyedLakeTable.create(
+        spark, str(tmp_path / "t2"), key_schema={"k": "string"}, n_buckets=4
+    )
+    dlq = str(tmp_path / "dlq")
+    cfg_dlq = PipelineConfig(
+        keys=["k"], image_columns={"k": "S", "v": "N"},
+        handle_control=True, dlq_dir=dlq, discover_columns=False,
+    )
+    pipe2 = CDCPipeline(spark, t2, cfg_dlq)
+    m2 = pipe2.apply_batch(_batch(spark, rows_dlq), batch_id=1)
+    assert "skipped_doomed_segments" not in m2  # dlq pipelines never elide
+    assert spark.read.parquet(dlq).count() == 1  # the poison row persisted
+
+
 def test_create_table_column_types_drive_reparse(spark, tmp_path):
     """A create-table control event carrying MAP annotations makes the
     pipeline re-parse the JSON-in-string column for subsequent data (D8)."""
