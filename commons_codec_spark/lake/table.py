@@ -387,15 +387,28 @@ class KeyedLakeTable:
             df = self.spark.createDataFrame(
                 [], T._parse_datatype_string(self._full_schema(payload_schema))
             )
-        else:
-            # mergeSchema: buckets written before an additive evolution lack
-            # the new columns; fill them as typed NULLs.
+        elif os.environ.get("SPARK_GRAFT_READ_MERGESCHEMA", "0") == "1":
+            # Legacy inference path (A/B lever): mergeSchema unions the
+            # footers of every file — a distributed planning job per read.
             df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             for c, t in payload_schema.items():
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
             if DELETED_COL not in df.columns:
                 df = df.withColumn(DELETED_COL, F.lit(False))
+            df = df.select(*cols)
+        else:
+            # The commit IS the schema authority (evolution is additive-only
+            # and types are pinned at first write), so read with the exact
+            # schema instead of mergeSchema: no footer-merge planning job,
+            # O(1) in file count where inference is O(files) — at 100 TB the
+            # difference between a metadata op and a cluster job.  Buckets
+            # written before an additive evolution simply null-fill the new
+            # columns (by-name parquet resolution), which is exactly what
+            # the mergeSchema path produced.
+            df = self.spark.read.schema(
+                T._parse_datatype_string(self._full_schema(payload_schema))
+            ).parquet(*paths)
             df = df.select(*cols)
         if include_tombstones:
             return df

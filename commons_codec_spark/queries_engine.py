@@ -12,6 +12,7 @@ state in plain SQL over the shared testdata parquet.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pyspark.sql.functions as F
@@ -35,6 +36,21 @@ def _t(
     # per query), and each job re-executes the input DAG, so a fan-out
     # shuffle would be re-paid per job for inputs of a few thousand rows.
     return read_table(spark, sf_dir, name, fan_out=fan_out)
+
+
+def _discover() -> bool:
+    """Per-batch schema discovery for the lifecycle queries.
+
+    Discovery scans every image's JSON keys once per batch — a full extra
+    pass over the widest column.  These workloads declare their complete
+    image schema up front, so the scan finds nothing by construction;
+    production pipelines with declared schemas run ``discover_columns=
+    False`` for the same reason (the fan-out and wire queries already
+    do).  Off by default; ``SPARK_GRAFT_LIFECYCLE_DISCOVER=1`` re-enables
+    (A/B lever).  Discovery itself stays exercised by the schema-evolution
+    tests (pipeline + wire) — this toggles cost, not capability.
+    """
+    return os.environ.get("SPARK_GRAFT_LIFECYCLE_DISCOVER", "0") == "1"
 
 
 def _materialized(df: DataFrame, work: str) -> DataFrame:
@@ -100,7 +116,10 @@ def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"cid": "double"}, n_buckets=8
     )
-    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    cfg = PipelineConfig(
+        keys=["cid"], image_columns=_FL_IMG_COLUMNS,
+        discover_columns=_discover(),
+    )
     pipe = CDCPipeline(spark, table, cfg)
     pipe.full_load(full, seq=0)
     pipe.apply_batch(cdc, batch_id=1)
@@ -125,7 +144,10 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{work}/src", key_schema={"cid": "double"}, n_buckets=8,
         changelog=True,
     )
-    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    cfg = PipelineConfig(
+        keys=["cid"], image_columns=_FL_IMG_COLUMNS,
+        discover_columns=_discover(),
+    )
     pipe = CDCPipeline(spark, src, cfg)
     pipe.full_load(full, seq=0)
     pipe.apply_batch(cdc, batch_id=1)
@@ -184,7 +206,10 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = KeyedLakeTable.create(
         spark, f"{work}/tbl", key_schema={"cid": "double"}, n_buckets=8
     )
-    cfg = PipelineConfig(keys=["cid"], image_columns=_FL_IMG_COLUMNS)
+    cfg = PipelineConfig(
+        keys=["cid"], image_columns=_FL_IMG_COLUMNS,
+        discover_columns=_discover(),
+    )
     pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=f"{work}/ckpt")
     pipe.full_load(full, seq=0)
     # micro-batches here are ~2k rows and streaming runs without AQE:
@@ -243,7 +268,8 @@ def q_control_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{work}/tbl", key_schema={"sk": "double"}, n_buckets=8
     )
     cfg = PipelineConfig(
-        keys=["sk"], image_columns={"sk": "N", "name": "S"}, handle_control=True
+        keys=["sk"], image_columns={"sk": "N", "name": "S"},
+        handle_control=True, discover_columns=_discover(),
     )
     pipe = CDCPipeline(spark, table, cfg)
     pipe.apply_batch(batch, batch_id=1)

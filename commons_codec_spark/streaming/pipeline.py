@@ -570,7 +570,24 @@ class CDCPipeline:
             env, keys=self.cfg.keys, payload_cols=payload_cols,
             seq_col=self.cfg.seq_col,
         )
-        m = self.table.merge(net, batch_id=None)
+        # All-buckets touched hint: a full load touches (nearly) every
+        # bucket by definition, so the exact touched set the unhinted merge
+        # discovers costs a persist of the ENTIRE decoded batch plus a
+        # distinct-collect job just to learn "all of them".  The superset
+        # hint keeps ``net`` lazy — decode→fold→join→write runs as ONE job
+        # — and at 100 TB avoids materializing a full-load-sized batch
+        # outright (a full load is the largest batch a pipeline ever sees).
+        # Extra hinted buckets are rewritten byte-identical (merge's
+        # documented superset contract); a bucket with no rows at all
+        # writes nothing and stays absent.  SPARK_GRAFT_FULLLOAD_HINT=0
+        # restores the discovery path (A/B lever).
+        n_buckets = getattr(self.table, "n_buckets", None)
+        if n_buckets and os.environ.get("SPARK_GRAFT_FULLLOAD_HINT", "1") != "0":
+            m = self.table.merge(
+                net, batch_id=None, touched=list(range(n_buckets))
+            )
+        else:
+            m = self.table.merge(net, batch_id=None)
         self.metrics.append({"full_load": True, **m})
         return m
 
