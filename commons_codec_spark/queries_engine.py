@@ -161,7 +161,18 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commons_codec_spark.operators.cdc_fold import compose_net_changes
 
     head = src._current_commit()["version"]
-    replica.merge(compose_net_changes(src.read_changes(1, head), keys=["cid"]))
+    # Bootstrap merge with an all-buckets touched hint: composing the
+    # WHOLE feed [1, head] into an empty replica touches every bucket that
+    # will ever hold a row, so discovering the exact touched set would
+    # persist the composed net and run a distinct-collect job just to
+    # learn "all of them" (same argument as full_load's hint — this IS a
+    # full load, sourced from the feed).  The net stays lazy: read feed →
+    # compose → join → write runs as one job.  Incremental tailing (a
+    # replica applying one version at a time) keeps exact discovery.
+    replica.merge(
+        compose_net_changes(src.read_changes(1, head), keys=["cid"]),
+        touched=list(range(replica.n_buckets)),
+    )
     state = replica.read().select(
         F.col("cid").cast("long").alias("cid"),
         F.col("name"),
