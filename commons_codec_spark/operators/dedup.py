@@ -181,40 +181,51 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     Convergence probe: labels are POINTWISE MONOTONE non-increasing
     (``new = min(own, neighbors)`` includes the node's own old label), so
     an unchanged per-round ``sum(lbl)`` is EXACT proof of an unchanged
-    label vector — one tiny aggregation per round instead of the earlier
-    new-vs-old join + count (a second shuffle of the full label set per
-    round, at billions of nodes the dominant per-round cost).  Decimal
+    label vector — and the sum rides the round's ``localCheckpoint``
+    materialization as an ``Observation``, so the probe costs NO separate
+    pass at all (the earlier new-vs-old join + count was a second shuffle
+    of the full label set per round, at billions of nodes the dominant
+    per-round cost).  Decimal
     sum: ids can be 2^63-scale and ANSI mode would throw on a long-sum
     overflow.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+
+    # The probe rides the round's localCheckpoint materialization as an
+    # Observation instead of a separate aggregation job: one pass over the
+    # label set per round where there were two — at billions of nodes the
+    # probe WAS a second full scan.  coalesce: an all-NULL metrics row
+    # (empty label set) fails the JVM→Python row conversion.
+    def observed_sum(lbls: DataFrame):
+        obs = Observation()
+        ck = lbls.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col("lbl").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
+        ).localCheckpoint()
+        return ck, obs.get["s"]
+
+    labels, prev_sum = observed_sum(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
     )
-
-    def label_sum(lbls: DataFrame):
-        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
         ).select(F.col("src").alias("id"), "lbl")
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+        new_labels, new_sum = observed_sum(
+            labels.unionAll(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
         )
-        new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             return labels.select("id", F.col("lbl").alias("cluster_id"))
@@ -238,8 +249,10 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     per-round job-scheduling overhead the driver loop costs — is
     logarithmic, which is what matters at billions of edges.
 
-    Convergence probe: ONE light aggregation per round over the new edge
-    set — ``(count, bit_xor(xxhash64(u,v)), sum(xxhash64 as decimal))`` —
+    Convergence probe: an order-invariant signature —
+    ``(count, bit_xor(xxhash64(u,v)), sum(xxhash64 as decimal))`` — that
+    rides each round's ``localCheckpoint`` materialization as an
+    ``Observation`` (no separate aggregation job),
     compared against the previous round's summary.  Edge sets are
     ``distinct`` by construction, so an unchanged order-invariant summary
     means an unchanged set (up to a 2^-64-ish collision); the earlier
@@ -294,29 +307,39 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .distinct()
         )
 
-    edges = (
+    from pyspark.sql import Observation
+
+    # The signature rides each round's localCheckpoint materialization as
+    # an Observation instead of a separate aggregation job: one pass over
+    # the edge set per round where there were two — the probe WAS a second
+    # full scan of the edges, in exactly the billions-of-edges regime this
+    # variant exists for.  coalesce: an all-NULL metrics row (empty edge
+    # set) fails the JVM→Python row conversion.
+    def observed_checkpoint(e: DataFrame):
+        h = F.xxhash64("u", "v")
+        obs = Observation()
+        ck = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).alias("x"),
+            # decimal(38,0): ANSI mode is on session-wide and a plain long
+            # sum of 2^63-scale hashes overflows (and would throw)
+            F.coalesce(
+                F.sum(h.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+            ).alias("s"),
+        ).localCheckpoint()
+        m = obs.get
+        return ck, (m["n"], m["x"], m["s"])
+
+    edges, sig = observed_checkpoint(
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     nodes = bidir(edges).select(F.col("u").alias("id")).distinct().localCheckpoint()
 
-    def summary(e: DataFrame) -> tuple:
-        h = F.xxhash64("u", "v")
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(h).alias("x"),
-            # decimal(38,0): ANSI mode is on session-wide and a plain long
-            # sum of 2^63-scale hashes overflows (and would throw)
-            F.sum(h.cast("decimal(38,0)")).alias("s"),
-        ).first()
-        return (row["n"], row["x"], row["s"])
-
-    sig = summary(edges)
     for _ in range(max_iters):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
-        new_sig = summary(new_edges)
+        new_edges, new_sig = observed_checkpoint(small_star(large_star(edges)))
         prev_edges, edges = edges, new_edges
         unchanged, sig = new_sig == sig, new_sig
         if unchanged:

@@ -219,6 +219,16 @@ def test_dedup_clusters_deep_chain_sum_probe(spark):
     assert out == {big + i: big for i in range(13)}
 
 
+def test_dedup_clusters_empty_pairs(spark):
+    """Both CC variants on an empty pair set: the convergence probe now
+    rides each round's localCheckpoint as an Observation whose metrics
+    must coalesce NULL aggregates (sum/bit_xor over zero rows) — an
+    all-NULL metrics row fails the JVM→Python conversion outright."""
+    empty = spark.createDataFrame([], "a long, b long")
+    assert dedup.dedup_clusters(empty).count() == 0
+    assert dedup.dedup_clusters_star(empty).count() == 0
+
+
 def test_top_ngrams(spark):
     rows = [
         (1, "the cat sat on the mat"),
