@@ -53,6 +53,22 @@ def _discover() -> bool:
     return os.environ.get("SPARK_GRAFT_LIFECYCLE_DISCOVER", "0") == "1"
 
 
+def _hint() -> bool | str:
+    """Touched-bucket hint mode for the lifecycle queries' CDC batches.
+
+    These workloads batch thousands of well-mixed keys into 8-bucket
+    tables, so every batch touches every bucket by construction and the
+    keys-only prescan is a whole extra job per batch just to learn "all
+    of them" — ``touched_hint="all"`` makes the merge the batch's ONE job
+    (see PipelineConfig).  ``SPARK_GRAFT_STREAM_HINT_ALL=0`` restores the
+    exact prescan (A/B lever).  Production pipelines with large bucket
+    counts and small batches keep the default exact prescan.
+    """
+    if os.environ.get("SPARK_GRAFT_STREAM_HINT_ALL", "1") == "0":
+        return True
+    return "all"
+
+
 def _materialized(df: DataFrame, work: str) -> DataFrame:
     """Evaluate eagerly, then drop the throwaway lake under ``work``."""
     out = df.localCheckpoint(eager=True)
@@ -118,7 +134,7 @@ def q_full_load_then_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = PipelineConfig(
         keys=["cid"], image_columns=_FL_IMG_COLUMNS,
-        discover_columns=_discover(),
+        discover_columns=_discover(), touched_hint=_hint(),
     )
     pipe = CDCPipeline(spark, table, cfg)
     pipe.full_load(full, seq=0)
@@ -146,7 +162,7 @@ def q_changelog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = PipelineConfig(
         keys=["cid"], image_columns=_FL_IMG_COLUMNS,
-        discover_columns=_discover(),
+        discover_columns=_discover(), touched_hint=_hint(),
     )
     pipe = CDCPipeline(spark, src, cfg)
     pipe.full_load(full, seq=0)
@@ -219,7 +235,7 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = PipelineConfig(
         keys=["cid"], image_columns=_FL_IMG_COLUMNS,
-        discover_columns=_discover(),
+        discover_columns=_discover(), touched_hint=_hint(),
     )
     pipe = CDCPipeline(spark, table, cfg, checkpoint_dir=f"{work}/ckpt")
     pipe.full_load(full, seq=0)
@@ -281,6 +297,7 @@ def q_control_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = PipelineConfig(
         keys=["sk"], image_columns={"sk": "N", "name": "S"},
         handle_control=True, discover_columns=_discover(),
+        touched_hint=_hint(),
     )
     pipe = CDCPipeline(spark, table, cfg)
     pipe.apply_batch(batch, batch_id=1)
@@ -516,7 +533,8 @@ def _fanout_workload(spark: SparkSession, sf_dir: str, work: str):
             KeyedLakeTable.create(
                 spark, f"{work}/{name}", key_schema={key: "double"}, n_buckets=8
             ),
-            PipelineConfig(keys=[key], image_columns=img, discover_columns=False),
+            PipelineConfig(keys=[key], image_columns=img,
+                           discover_columns=False, touched_hint=_hint()),
         )
 
     targets = {

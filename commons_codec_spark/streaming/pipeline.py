@@ -103,8 +103,22 @@ class PipelineConfig:
     #: the decode→fold→join→write chain runs as one lazy job.  False falls
     #: back to materializing the (compact) fold output and discovering the
     #: buckets from it — cheaper when batches are small or keys_json is
-    #: expensive to re-scan.
-    touched_hint: bool = True
+    #: expensive to re-scan.  ``"all"`` skips the pre-scan outright and
+    #: hints every bucket (the full-load argument extended to steady-state
+    #: micro-batches): when the caller knows each batch's key set spans
+    #: (nearly) every bucket — small bucket counts, well-mixed streams —
+    #: the exact pre-scan is a whole extra pass over the batch's keys_json
+    #: just to learn "all of them", so the merge becomes ONE lazy job per
+    #: batch.  Extra hinted buckets rewrite byte-identical (merge's pinned
+    #: superset contract); untouched-and-empty buckets stay absent.  Costs
+    #: the per-batch lineage metrics (events/op histogram read 0 — they
+    #: rode on the pre-scan) and is incompatible with ``salt_chunks=
+    #: "auto"`` (skew is measured by the same pre-scan; config error).
+    #: Large tables (thousands of buckets) with small batches should keep
+    #: the exact pre-scan — the hint trades a metadata-sized scan for
+    #: rewriting every bucket, which only pays when batches touch most
+    #: buckets anyway.
+    touched_hint: bool | str = True
 
 
 class CDCPipeline:
@@ -122,6 +136,15 @@ class CDCPipeline:
         self.table = table
         self.cfg = config
         self.checkpoint_dir = checkpoint_dir
+        if config.touched_hint == "all" and config.salt_chunks == "auto":
+            # auto-salting measures per-key skew in the keys-only prescan;
+            # "all" exists to SKIP that prescan — the combination would
+            # silently never salt, so reject it loudly instead
+            raise ValueError(
+                'touched_hint="all" skips the keys-only prescan that '
+                'salt_chunks="auto" needs to measure skew; pick one '
+                "(explicit salt_chunks still composes with \"all\")."
+            )
         if config.handle_control and config.decoder is not None:
             # handle_control scans the RAW batch for 'create-table'/
             # 'drop-table' ops; a dialect decoder's batches carry the
@@ -376,7 +399,18 @@ class CDCPipeline:
         if auto_salt:
             salt = None  # resolved below when the prescan can measure skew
         t_hint = time.time()
-        if self.cfg.decoder is None and self.cfg.touched_hint:
+        all_hint_buckets = (
+            getattr(self.table, "n_buckets", None)
+            if self.cfg.touched_hint == "all"
+            else None
+        )
+        if all_hint_buckets:
+            # "all" mode: no prescan job at all — the merge is the batch's
+            # ONE job.  Lineage metrics rode on the prescan, so they read 0
+            # here (documented on the config); correctness is carried by the
+            # merge's superset-hint contract, exactly as in full_load.
+            touched = list(range(all_hint_buckets))
+        elif self.cfg.decoder is None and self.cfg.touched_hint:
             key_cols = {k: self._image_columns[k] for k in self.cfg.keys}
             kd = compile_direct_decoder(
                 batch.select("op", "keys_json"), "keys_json", key_cols

@@ -453,3 +453,33 @@ def test_full_load_hint_matches_discovery_path(spark, tmp_path, monkeypatch):
         (r.repo, r.path, r.commit, r.content) for r in t.read().collect()
     )
     assert rows(hinted_table) == rows(exact_table) == [("r", "solo", "c0", "v")]
+
+
+def test_all_hint_mode_matches_prescan_path(spark, tmp_path, small_log, oracle_state):
+    """``touched_hint="all"`` (skip the keys-only prescan, hint every
+    bucket) is a pure optimization: final state identical to the prescan
+    path and to the sequential oracle, exactly-once bookkeeping intact.
+    The lineage metrics that rode on the prescan read 0 — the documented
+    trade — and the merge hints the full bucket range."""
+    table = _fresh_table(spark, tmp_path)
+    pipe = _pipeline(spark, table, tmp_path, touched_hint="all")
+    metrics = pipe.run_replay(small_log)
+
+    _assert_state_matches(table, oracle_state)
+    assert all(m["touched_buckets"] == table.n_buckets for m in metrics)
+    # prescan skipped: the per-batch lineage counters rode on it
+    assert all(m["events"] == 0 for m in metrics)
+    # exactly-once: re-running the same batches is a no-op
+    again = pipe.run_replay(small_log)
+    assert all(m.get("skipped") for m in again)
+    _assert_state_matches(table, oracle_state)
+
+
+def test_all_hint_mode_rejects_auto_salt(spark, tmp_path):
+    """Auto-salting measures skew in the prescan that "all" skips — the
+    combination must fail loudly at construction, not silently never salt."""
+    table = _fresh_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="prescan"):
+        _pipeline(
+            spark, table, tmp_path, touched_hint="all", salt_chunks="auto"
+        )
