@@ -96,6 +96,26 @@ def get_spark(
             "spark.sql.join.preferSortMergeJoin",
             "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "false",
         )
+        # Constraint propagation spends serial DRIVER time inferring
+        # redundant predicates over this engine's wide generated expression
+        # trees (format_string envelopes, the fold's when-trees, lang_id's
+        # CASE chains) on every plan — and nothing here depends on the
+        # inference: key-null filtering is explicit (key_ok), the merge
+        # join is full-outer (no null-pruning inference applies), and the
+        # dedup/ANN join keys are constructed non-null.  Interleaved A/B,
+        # 10/10 queries faster on min AND median with it off — e.g.
+        # cdc_replay_final_state 3.67/4.38 vs 5.11/8.08,
+        # text_unigram_logprob 0.52/0.55 vs 0.73/0.76, lifecycle queries
+        # −0.1..−0.5 s each.  Results are unchanged by construction
+        # (constraints only ADD inferred filters); re-verified against the
+        # DuckDB oracle.  SPARK_GRAFT_CONSTRAINT_PROP=1 restores the
+        # default (A/B lever) — revisit if a future query relies on
+        # inferred join-key pushdown instead of explicit filters.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP") == "1"
+            else "false",
+        )
     )
     # Shuffle/spill dir: prefer tmpfs — the local-mode analog of the local
     # NVMe a real executor would have.  A single virtual disk serializes
