@@ -168,6 +168,114 @@ def _compose_agg(ptype: T.StructType) -> Column:
     return col
 
 
+def _closed_form_cols(
+    ptype: T.StructType,
+    keys: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    seq_col: str,
+    op_col: str,
+):
+    """Memoized column lists for :func:`_fold_closed_form`.
+
+    Building the annotated/agg/output expression trees costs ~0.25 s of
+    serial driver Python per call (hundreds of Column-API py4j round
+    trips) — and every micro-batch folds at least once, so an engine
+    lifecycle query paid it 2–4×.  The trees depend only on the schema
+    shape (same argument as ``_AGG_CACHE`` / the merge-expression cache:
+    Columns are immutable unresolved expressions, reusable across any
+    DataFrame with the same columns), so one instance serves every batch.
+    """
+    key = ("closed", ptype.json(), keys, payload_cols, seq_col, op_col)
+    hit = _AGG_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    op = F.col(op_col)
+    seq = F.col(seq_col).cast("long")
+    is_i, is_u, is_d = op == "insert", op == "update", op == "delete"
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(seq, op)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_insdel = F.last(F.when(~is_u, op), ignorenulls=True).over(w)
+
+    pb_a = F.coalesce(prev_insdel == "insert", F.lit(False))  # absent start
+    pb_p = F.coalesce(prev_insdel == "insert", F.lit(True))  # present start
+    row = F.struct(*[F.col(c) for c in payload_cols])
+
+    annotated_cols = [
+        *keys,
+        seq.alias("__seq"),
+        F.when(~is_u, op).alias("__insdel"),
+        ((is_i & ~pb_a) | (is_u & pb_a)).alias("__set_a"),
+        is_d.alias("__del_a"),  # deletes always tombstone — see _step
+        ((is_i & ~pb_p) | (is_u & pb_p)).alias("__set_p"),
+        is_d.alias("__del_p"),
+        row.alias("__row"),
+    ]
+
+    def series(flag: str):
+        cond = F.col(flag)
+        return (
+            F.max_by(F.when(cond, F.col("__row")), F.when(cond, F.col("__seq"))),
+            F.max(F.when(cond, F.col("__seq"))),
+        )
+
+    agg_cols = [
+        F.max_by("__insdel", F.when(F.col("__insdel").isNotNull(), F.col("__seq"))).alias("__final_insdel"),
+        *[
+            c.alias(n)
+            for flag, pre in (("__set_a", "a"), ("__set_p", "p"))
+            for c, n in zip(series(flag), (f"__{pre}row", f"__{pre}set_seq"))
+        ],
+        F.max(F.when(F.col("__del_a"), F.col("__seq"))).alias("__adel_seq"),
+        F.max(F.when(F.col("__del_p"), F.col("__seq"))).alias("__pdel_seq"),
+    ]
+
+    presence_a = F.coalesce(F.col("__final_insdel") == "insert", F.lit(False))
+    presence_p = F.coalesce(F.col("__final_insdel") == "insert", F.lit(True))
+    null_row = F.lit(None).cast(ptype)
+    pa_set = presence_p & F.col("__pset_seq").isNotNull()
+    aseq = F.coalesce(
+        F.when(presence_a, F.col("__aset_seq")).otherwise(F.col("__adel_seq")),
+        F.lit(-1).cast("long"),
+    )
+    pseq = F.coalesce(
+        F.when(~presence_p, F.col("__pdel_seq")).otherwise(F.col("__pset_seq")),
+        F.lit(-1).cast("long"),
+    )
+    # Compact row encoding (see fold_net_changes): ONE payload struct per
+    # key plus a rarely-non-null present-branch extra.  aa==SET ⟺
+    # presence_a, and then __arow is the absent branch's row; the branches'
+    # rows can only differ when their last effective sets are different
+    # events, i.e. different seqs (an out-of-order insert after updates in
+    # one batch).
+    divergent = presence_a & pa_set & (F.col("__aset_seq") != F.col("__pset_seq"))
+    out_cols = [
+        *keys,
+        F.when(presence_a, F.lit(SET))
+        .when(F.col("__adel_seq").isNotNull(), F.lit(DELETE))
+        .otherwise(F.lit(KEEP))
+        .alias("aa"),
+        aseq.alias("aseq"),
+        F.when(~presence_p, F.lit(DELETE))
+        .when(F.col("__pset_seq").isNotNull(), F.lit(SET))
+        .otherwise(F.lit(KEEP))
+        .alias("pa"),
+        pseq.alias("pseq"),
+        F.when(presence_a, F.col("__arow"))
+        .when(pa_set, F.col("__prow"))
+        .otherwise(null_row)
+        .alias("row"),
+        F.when(divergent, F.col("__prow")).otherwise(null_row).alias("prow_extra"),
+    ]
+    out = (annotated_cols, agg_cols, out_cols)
+    _AGG_CACHE[key] = out
+    return out
+
+
 def _fold_closed_form(
     events: DataFrame,
     keys: list[str],
@@ -197,86 +305,17 @@ def _fold_closed_form(
     ~10× faster (interpreted HOF → codegen) and needs no per-key buffer:
     the aggregation is partial (map-side combine), so a hot key costs one
     sort-run in the window, not an O(events) array in one task.
+
+    The three expression lists are memoized per schema shape
+    (:func:`_closed_form_cols`) — rebuilding them cost ~0.25 s of serial
+    driver Python per fold call, paid once per micro-batch.
     """
-    op = F.col(op_col)
-    seq = F.col(seq_col).cast("long")
-    is_i, is_u, is_d = op == "insert", op == "update", op == "delete"
-
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(seq, op)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    annotated_cols, agg_cols, out_cols = _closed_form_cols(
+        _payload_struct(events, payload_cols),
+        tuple(keys), tuple(payload_cols), seq_col, op_col,
     )
-    prev_insdel = F.last(F.when(~is_u, op), ignorenulls=True).over(w)
-
-    pb_a = F.coalesce(prev_insdel == "insert", F.lit(False))  # absent start
-    pb_p = F.coalesce(prev_insdel == "insert", F.lit(True))  # present start
-    row = F.struct(*[F.col(c) for c in payload_cols])
-
-    annotated = events.select(
-        *keys,
-        seq.alias("__seq"),
-        F.when(~is_u, op).alias("__insdel"),
-        ((is_i & ~pb_a) | (is_u & pb_a)).alias("__set_a"),
-        is_d.alias("__del_a"),  # deletes always tombstone — see _step
-        ((is_i & ~pb_p) | (is_u & pb_p)).alias("__set_p"),
-        is_d.alias("__del_p"),
-        row.alias("__row"),
-    )
-
-    def series(flag: str):
-        cond = F.col(flag)
-        return (
-            F.max_by(F.when(cond, F.col("__row")), F.when(cond, F.col("__seq"))),
-            F.max(F.when(cond, F.col("__seq"))),
-        )
-
-    agg = annotated.groupBy(*keys).agg(
-        F.max_by("__insdel", F.when(F.col("__insdel").isNotNull(), F.col("__seq"))).alias("__final_insdel"),
-        *[
-            c.alias(n)
-            for flag, pre in (("__set_a", "a"), ("__set_p", "p"))
-            for c, n in zip(series(flag), (f"__{pre}row", f"__{pre}set_seq"))
-        ],
-        F.max(F.when(F.col("__del_a"), F.col("__seq"))).alias("__adel_seq"),
-        F.max(F.when(F.col("__del_p"), F.col("__seq"))).alias("__pdel_seq"),
-    )
-
-    presence_a = F.coalesce(F.col("__final_insdel") == "insert", F.lit(False))
-    presence_p = F.coalesce(F.col("__final_insdel") == "insert", F.lit(True))
-    null_row = F.lit(None).cast(_payload_struct(events, payload_cols))
-    pa_set = presence_p & F.col("__pset_seq").isNotNull()
-    aseq = F.coalesce(
-        F.when(presence_a, F.col("__aset_seq")).otherwise(F.col("__adel_seq")),
-        F.lit(-1).cast("long"),
-    )
-    pseq = F.coalesce(
-        F.when(~presence_p, F.col("__pdel_seq")).otherwise(F.col("__pset_seq")),
-        F.lit(-1).cast("long"),
-    )
-    # Compact row encoding (see fold_net_changes): ONE payload struct per key
-    # plus a rarely-non-null present-branch extra.  aa==SET ⟺ presence_a,
-    # and then __arow is the absent branch's row; the branches' rows can
-    # only differ when their last effective sets are different events, i.e.
-    # different seqs (an out-of-order insert after updates in one batch).
-    divergent = presence_a & pa_set & (F.col("__aset_seq") != F.col("__pset_seq"))
-    return agg.select(
-        *keys,
-        F.when(presence_a, F.lit(SET))
-        .when(F.col("__adel_seq").isNotNull(), F.lit(DELETE))
-        .otherwise(F.lit(KEEP))
-        .alias("aa"),
-        aseq.alias("aseq"),
-        F.when(~presence_p, F.lit(DELETE))
-        .when(F.col("__pset_seq").isNotNull(), F.lit(SET))
-        .otherwise(F.lit(KEEP))
-        .alias("pa"),
-        pseq.alias("pseq"),
-        F.when(presence_a, F.col("__arow"))
-        .when(pa_set, F.col("__prow"))
-        .otherwise(null_row)
-        .alias("row"),
-        F.when(divergent, F.col("__prow")).otherwise(null_row).alias("prow_extra"),
+    return events.select(*annotated_cols).groupBy(*keys).agg(*agg_cols).select(
+        *out_cols
     )
 
 
