@@ -84,12 +84,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Let the planner pick shuffled-hash join when its size conditions
         # hold (guide: SMJ is the always-works-but-slowest strategy): the
-        # CDC merge's full-outer join and the dedup/ANN bucket joins then
-        # skip their sorts and probe a per-partition hash map instead.
-        # Interleaved A/B (6 join-heavy queries, min AND median): SHJ never
-        # lost — e.g. cdc_replay_final_state 4.43/8.08 vs 7.25/8.52,
-        # cdc_full_load_then_cdc 3.04/3.54 vs 4.07/4.70, dedup_minhash_lsh
-        # 1.22/1.89 vs 1.38/2.43.  Build-side OOM risk is bounded by the
+        # CDC merge's full-outer join — too big to broadcast by design —
+        # becomes ShuffledHashJoin BuildLeft with one sort fewer (plan
+        # pair: plans/r06/merge_join_before/after.txt; the dedup/ANN
+        # joins are already broadcast at contract scale and unaffected).
+        # Interleaved A/B on the merge-path queries, min AND median:
+        # mongo_full_load 2.25/2.31 vs 2.69/2.87, cdc_changelog_replica
+        # 4.71/5.03 vs 5.09/5.75, cdc_multi_table_routing 2.87/2.98 vs
+        # 2.93/3.27, cdc_full_load_then_cdc 3.04/3.54 vs 4.07/4.70; the
+        # 8M-event headline is neutral within window noise (two
+        # reversed-order A/Bs).  Build-side OOM risk is bounded by the
         # planner's own size conditions + AQE skew split (applies to SHJ
         # too); SPARK_GRAFT_PREFER_SMJ=1 restores the default (A/B lever).
         .config(
@@ -103,10 +107,11 @@ def get_spark(
         # inference: key-null filtering is explicit (key_ok), the merge
         # join is full-outer (no null-pruning inference applies), and the
         # dedup/ANN join keys are constructed non-null.  Interleaved A/B,
-        # 10/10 queries faster on min AND median with it off — e.g.
-        # cdc_replay_final_state 3.67/4.38 vs 5.11/8.08,
-        # text_unigram_logprob 0.52/0.55 vs 0.73/0.76, lifecycle queries
-        # −0.1..−0.5 s each.  Results are unchanged by construction
+        # 10/10 queries faster on min AND median with it off — stable
+        # examples: text_unigram_logprob 0.52/0.55 vs 0.73/0.76,
+        # cdc_control_drop_reset 2.81/2.87 vs 2.99/3.08,
+        # cdc_full_load_then_cdc 2.70/2.80 vs 3.07/3.15, corpus_curation
+        # 1.27/1.28 vs 1.38/1.48.  Results are unchanged by construction
         # (constraints only ADD inferred filters); re-verified against the
         # DuckDB oracle.  SPARK_GRAFT_CONSTRAINT_PROP=1 restores the
         # default (A/B lever) — revisit if a future query relies on
